@@ -1,0 +1,25 @@
+from dgll_tpu.nn.conv import GATConv, GCNConv, GINConv, SAGEConv
+from dgll_tpu.nn.models import GAT, GCN, GIN, GraphSAGE
+from dgll_tpu.nn.pooling import (
+    Pooling,
+    batch_graphs,
+    max_pooling,
+    mean_pooling,
+    sum_pooling,
+)
+
+__all__ = [
+    "GCNConv",
+    "GATConv",
+    "SAGEConv",
+    "GINConv",
+    "GCN",
+    "GAT",
+    "GraphSAGE",
+    "GIN",
+    "Pooling",
+    "sum_pooling",
+    "mean_pooling",
+    "max_pooling",
+    "batch_graphs",
+]

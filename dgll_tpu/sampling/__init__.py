@@ -1,0 +1,28 @@
+from dgll_tpu.sampling.base import (
+    BaseSampler,
+    Block,
+    HostGraph,
+    SparseBlock,
+    sample_neighbors_padded,
+)
+from dgll_tpu.sampling.layerwise import (
+    FastGCNSampler,
+    LadiesSampler,
+    geometric_layer_sizes,
+    normalized_laplacian,
+)
+from dgll_tpu.sampling.neighbor import DGLLNeighborSampler, NeighborSampler
+
+__all__ = [
+    "BaseSampler",
+    "Block",
+    "SparseBlock",
+    "HostGraph",
+    "sample_neighbors_padded",
+    "NeighborSampler",
+    "DGLLNeighborSampler",
+    "FastGCNSampler",
+    "LadiesSampler",
+    "normalized_laplacian",
+    "geometric_layer_sizes",
+]

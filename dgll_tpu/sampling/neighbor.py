@@ -1,0 +1,69 @@
+"""Multi-layer uniform neighbour sampler — parity with ``DGLLNeighborSampler``
+(``/root/reference/dgll/sampling/dgllsampler.py:5-21``), emitting fixed-shape blocks.
+
+Semantics: iterate fanouts outermost-first in the returned list (``fanouts[0]`` is the
+block nearest the raw input features, exactly as the reference builds by inserting at
+the front while iterating ``reversed(fanouts)``). Every block is fanout-dense and
+statically shaped, so the jitted train step never recompiles across batches.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from dgll_tpu.sampling.base import BaseSampler, Block, HostGraph, sample_neighbors_padded
+
+
+class NeighborSampler(BaseSampler):
+    def __init__(self, fanouts: Sequence[int], seed: int = 0):
+        self.fanouts = [int(f) for f in fanouts]
+        self._rng = np.random.default_rng(seed)
+
+    def sample(
+        self,
+        g: HostGraph,
+        seeds: np.ndarray,
+        pad_to: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, List[Block]]:
+        """Sample the multi-hop neighbourhood of ``seeds``.
+
+        Returns ``(input_nodes, output_nodes, blocks)``: ``input_nodes`` are the global
+        ids whose features feed the first block (= ``blocks[0].src_ids``),
+        ``output_nodes`` the (padded) seeds. ``pad_to`` pads the seed batch to a static
+        size (defaults to ``len(seeds)``).
+        """
+        seeds = np.asarray(seeds, np.int64)
+        b = len(seeds) if pad_to is None else int(pad_to)
+        dst_ids = np.zeros(b, np.int64)
+        dst_ids[: len(seeds)] = seeds
+        dst_mask = np.zeros(b, bool)
+        dst_mask[: len(seeds)] = True
+
+        blocks: List[Block] = []
+        frontier, fmask = dst_ids, dst_mask
+        for fanout in reversed(self.fanouts):
+            sampled, smask = sample_neighbors_padded(g, frontier, fmask, fanout, self._rng)
+            blocks.insert(
+                0,
+                Block(
+                    dst_ids=jnp.asarray(frontier, jnp.int32),
+                    src_ids=jnp.asarray(
+                        np.concatenate([frontier, sampled.reshape(-1)]), jnp.int32
+                    ),
+                    neigh_mask=jnp.asarray(smask),
+                    dst_mask=jnp.asarray(fmask),
+                    fanout=fanout,
+                    n_dst=frontier.shape[0],
+                ),
+            )
+            frontier = np.concatenate([frontier, sampled.reshape(-1)])
+            fmask = np.concatenate([fmask, smask.reshape(-1)])
+
+        input_nodes = np.asarray(blocks[0].src_ids, np.int64) if blocks else dst_ids
+        return input_nodes, dst_ids, blocks
+
+
+# Alias matching the reference class name for drop-in familiarity.
+DGLLNeighborSampler = NeighborSampler

@@ -1,0 +1,167 @@
+"""Sampler invariants — port of the reference's ``unittest_smapler.py:11-53`` checks
+(shape invariants, block count, oversized fanout) plus padding/static-shape invariants."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dgll_tpu.data import synthetic_classification_graph
+from dgll_tpu.graph import Graph
+from dgll_tpu.sampling import (
+    Block,
+    FastGCNSampler,
+    HostGraph,
+    LadiesSampler,
+    NeighborSampler,
+    geometric_layer_sizes,
+    normalized_laplacian,
+)
+
+
+@pytest.fixture(scope="module")
+def g():
+    return synthetic_classification_graph(n_node=200, avg_degree=5, seed=1)
+
+
+@pytest.fixture(scope="module")
+def hg(g):
+    return HostGraph.from_graph(g)
+
+
+def test_block_count_and_types(hg):
+    fanouts = [4, 3]
+    s = NeighborSampler(fanouts)
+    seeds = np.arange(10)
+    inp, out, blocks = s.sample(hg, seeds)
+    assert len(blocks) == len(fanouts)
+    assert all(isinstance(b, Block) for b in blocks)
+    # reference invariant: input_nodes == blocks[0] src count; output == seeds
+    assert len(inp) == blocks[0].num_src_nodes
+    np.testing.assert_array_equal(out[:10], seeds)
+
+
+def test_block_shapes_static_across_batches(hg):
+    s = NeighborSampler([4, 3])
+    _, _, b1 = s.sample(hg, np.arange(10), pad_to=16)
+    _, _, b2 = s.sample(hg, np.arange(30, 33), pad_to=16)
+    for x, y in zip(b1, b2):
+        assert x.src_ids.shape == y.src_ids.shape
+        assert x.neigh_mask.shape == y.neigh_mask.shape
+        assert x.n_dst == y.n_dst and x.fanout == y.fanout
+
+
+def test_block_layout_invariants(hg):
+    s = NeighborSampler([3])
+    seeds = np.arange(8)
+    inp, out, (blk,) = s.sample(hg, seeds)
+    # first n_dst src ids are the dst ids themselves
+    np.testing.assert_array_equal(np.asarray(blk.src_ids[: blk.n_dst]), np.asarray(blk.dst_ids))
+    # inner block dst == seeds
+    np.testing.assert_array_equal(np.asarray(blk.dst_ids), seeds)
+    assert blk.n_src == blk.n_dst * (1 + blk.fanout)
+    # COO view bounds
+    assert int(jnp.max(blk.src)) < blk.n_src
+    assert int(jnp.max(blk.dst)) < blk.n_dst
+
+
+def test_sampled_neighbors_are_real_neighbors(hg):
+    s = NeighborSampler([5], seed=3)
+    seeds = np.arange(20)
+    _, _, (blk,) = s.sample(hg, seeds)
+    src_ids = np.asarray(blk.src_ids)
+    mask = np.asarray(blk.neigh_mask)
+    for i in range(blk.n_dst):
+        nbrs = set(hg.src[hg.indptr[seeds[i]] : hg.indptr[seeds[i] + 1]])
+        for j in range(blk.fanout):
+            if mask[i, j]:
+                assert src_ids[blk.n_dst + i * blk.fanout + j] in nbrs
+
+
+def test_oversized_fanout_masks(hg):
+    """Fanout larger than degree: with-replacement slots stay valid but only real
+    neighbours appear (reference clamps instead; our estimator resamples)."""
+    s = NeighborSampler([64])
+    _, _, (blk,) = s.sample(hg, np.arange(5))
+    assert blk.neigh_mask.shape == (5, 64)
+    # weights are mean-normalised: sum over a row's edges == 1 when any neighbour exists
+    w = np.asarray(blk.edge_weight).reshape(5, 64)
+    rows = w.sum(1)
+    assert np.all((np.abs(rows - 1) < 1e-6) | (rows == 0))
+
+
+def test_zero_fanout_list(hg):
+    s = NeighborSampler([])
+    inp, out, blocks = s.sample(hg, np.arange(4))
+    assert blocks == []
+    np.testing.assert_array_equal(inp, out)
+
+
+def test_padding_mask(hg):
+    s = NeighborSampler([2])
+    _, out, (blk,) = s.sample(hg, np.arange(3), pad_to=8)
+    assert np.asarray(blk.dst_mask).tolist() == [True] * 3 + [False] * 5
+    assert np.all(~np.asarray(blk.neigh_mask)[3:])
+
+
+# ---------------------------------------------------------------- layer-wise
+def test_fastgcn_shapes_and_weights(g, hg):
+    lap = normalized_laplacian(g)
+    s = FastGCNSampler(lap, layer_sizes=[32, 16], edges_per_dst=64, seed=0)
+    seeds = np.arange(8)
+    inp, out, blocks = s.sample(hg, seeds)
+    assert len(blocks) == 2
+    # innermost block dst = seeds
+    np.testing.assert_array_equal(np.asarray(blocks[-1].dst_ids)[:8], seeds)
+    for b in blocks:
+        assert b.edge_weight.shape == (b.n_edge,)
+        assert np.isfinite(np.asarray(b.edge_weight)).all()
+    # static shapes across batches
+    _, _, blocks2 = s.sample(hg, np.arange(100, 108))
+    for a, c in zip(blocks, blocks2):
+        assert a.src.shape == c.src.shape and a.src_ids.shape == c.src_ids.shape
+
+
+def test_fastgcn_unbiasedness_smoke():
+    """E[Q @ x] ≈ L @ x in the s << n regime (the estimator — like the reference's,
+    MQFastGCN.py:60-88 — rescales by 1/(p*s), which is only unbiased when inclusion
+    probabilities are small)."""
+    big = synthetic_classification_graph(n_node=1500, avg_degree=6, seed=2)
+    hg = HostGraph.from_graph(big)
+    lap = normalized_laplacian(big)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(big.n_real_node, 4)).astype(np.float32)
+    seeds = np.arange(16)
+    expect = (lap[seeds] @ x)
+    acc = np.zeros_like(expect)
+    T = 300
+    s = FastGCNSampler(lap, layer_sizes=[48], edges_per_dst=64, seed=1,
+                       include_seeds=False)
+    for _ in range(T):
+        _, _, (b,) = s.sample(hg, seeds)
+        xs = x[np.asarray(b.src_ids)] * np.asarray(b.src_mask)[:, None]
+        est = np.zeros_like(expect)
+        np.add.at(est, np.asarray(b.dst), np.asarray(b.edge_weight)[:, None] * xs[np.asarray(b.src)])
+        acc += est
+    acc /= T
+    err = np.abs(acc - expect).mean() / (np.abs(expect).mean() + 1e-9)
+    assert err < 0.35, err  # Monte-Carlo tolerance at T=300 draws
+
+
+def test_ladies_runs_and_depends_on_prev(g, hg):
+    lap = normalized_laplacian(g)
+    s = LadiesSampler(lap, layer_sizes=[32, 16], edges_per_dst=64, seed=0)
+    inp, out, blocks = s.sample(hg, np.arange(8))
+    assert len(blocks) == 2
+    assert all(np.isfinite(np.asarray(b.edge_weight)).all() for b in blocks)
+
+
+def test_wrs_and_flat_variants(g, hg):
+    lap = normalized_laplacian(g)
+    for kw in [dict(flatten=True), dict(wrs=True), dict(flatten=True, wrs=True)]:
+        s = FastGCNSampler(lap, layer_sizes=[16], edges_per_dst=64, seed=0, **kw)
+        _, _, (b,) = s.sample(hg, np.arange(4))
+        assert np.isfinite(np.asarray(b.edge_weight)).all()
+
+
+def test_geometric_layer_sizes():
+    sizes = geometric_layer_sizes(64, 2.0, 3)
+    assert sizes == [256, 128, 64]
