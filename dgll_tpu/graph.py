@@ -102,21 +102,35 @@ class Graph:
         indptr = np.cumsum(indptr)
 
         n_edge = src.shape[0]
+        # Leaves stay HOST numpy: graph construction/normalisation/sampling are
+        # host-side; one explicit .to_device() moves everything over in a single
+        # batch when training starts (device round-trips during prep are pure
+        # overhead — and expensive over remote-attached TPU links).
         return Graph(
-            indptr=jnp.asarray(indptr, jnp.int32),
-            src=jnp.asarray(src, jnp.int32),
-            dst=jnp.asarray(dst, jnp.int32),
-            edge_weight=None if edge_weight is None else jnp.asarray(edge_weight),
-            node_feat=None if node_feat is None else jnp.asarray(node_feat),
-            labels=None if labels is None else jnp.asarray(labels),
-            train_mask=None if train_mask is None else jnp.asarray(train_mask, bool),
-            val_mask=None if val_mask is None else jnp.asarray(val_mask, bool),
-            test_mask=None if test_mask is None else jnp.asarray(test_mask, bool),
+            indptr=indptr.astype(np.int32),
+            src=src.astype(np.int32),
+            dst=dst.astype(np.int32),
+            edge_weight=None if edge_weight is None else np.asarray(edge_weight, np.float32),
+            node_feat=None if node_feat is None else np.asarray(node_feat),
+            labels=None if labels is None else np.asarray(labels),
+            train_mask=None if train_mask is None else np.asarray(train_mask, bool),
+            val_mask=None if val_mask is None else np.asarray(val_mask, bool),
+            test_mask=None if test_mask is None else np.asarray(test_mask, bool),
             n_node=int(n_node),
             n_edge=int(n_edge),
             n_real_node=int(n_node),
             n_real_edge=int(n_edge),
         )
+
+    def to_device(self, device=None) -> "Graph":
+        """Move all array leaves to device (one batched transfer)."""
+        def put(x):
+            if x is None:
+                return None
+            return jax.device_put(x, device) if device is not None else jnp.asarray(x)
+
+        moved = jax.tree.map(put, self)
+        return jax.block_until_ready(moved)
 
     # ------------------------------------------------------- DGraph-parity API
     # (reference dgll/data/dgraph.py:49-132; host-side conveniences, not jitted)
@@ -207,29 +221,34 @@ def pad_graph(g: Graph, node_multiple: int = 8, edge_multiple: int = 128) -> Gra
         return g
 
     dn, de = pn - g.n_node, pe - g.n_edge
-    indptr = jnp.concatenate(
-        [g.indptr, jnp.full((dn,), g.n_edge, jnp.int32)]
-    ) if dn else g.indptr
+    indptr = np.asarray(g.indptr)
+    src = np.asarray(g.src)
+    dst = np.asarray(g.dst)
+    if dn:
+        indptr = np.concatenate([indptr, np.full((dn,), g.n_edge, np.int32)])
     # route padding edges to the last padded node
     pad_target = pn - 1
-    src = jnp.concatenate([g.src, jnp.full((de,), pad_target, jnp.int32)]) if de else g.src
-    dst = jnp.concatenate([g.dst, jnp.full((de,), pad_target, jnp.int32)]) if de else g.dst
-    indptr = indptr.at[-1].set(pe) if de else indptr
+    if de:
+        src = np.concatenate([src, np.full((de,), pad_target, np.int32)])
+        dst = np.concatenate([dst, np.full((de,), pad_target, np.int32)])
+        indptr = indptr.copy()
+        indptr[-1] = pe
 
     def _pad_rows(x, rows):
         if x is None or rows == 0:
             return x
+        x = np.asarray(x)
         pad_width = [(0, rows)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad_width)
+        return np.pad(x, pad_width)
 
     ew = g.edge_weight
     if ew is not None and de:
-        ew = jnp.concatenate([ew, jnp.zeros((de,), ew.dtype)])
+        ew = np.concatenate([np.asarray(ew), np.zeros((de,), np.float32)])
 
     return g.replace(
-        indptr=indptr,
-        src=src,
-        dst=dst,
+        indptr=indptr.astype(np.int32),
+        src=src.astype(np.int32),
+        dst=dst.astype(np.int32),
         edge_weight=ew,
         node_feat=_pad_rows(g.node_feat, dn),
         labels=_pad_rows(g.labels, dn),

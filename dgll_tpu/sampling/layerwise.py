@@ -159,14 +159,15 @@ def _pack_sparse_block(dst_ids, dst_mask, src_ids, src_mask, rows, cols, vals, n
     dst_l = np.zeros(n_edge, np.int64)
     w = np.zeros(n_edge, np.float32)
     src_l[:ne], dst_l[:ne], w[:ne] = cols, rows, vals
+    # host numpy leaves by design — see NeighborSampler.sample
     return SparseBlock(
-        dst_ids=jnp.asarray(dst_ids, jnp.int32),
-        src_ids=jnp.asarray(src_ids, jnp.int32),
-        src=jnp.asarray(src_l, jnp.int32),
-        dst=jnp.asarray(dst_l, jnp.int32),
-        edge_weight=jnp.asarray(w),
-        dst_mask=jnp.asarray(dst_mask),
-        src_mask=jnp.asarray(src_mask),
+        dst_ids=dst_ids.astype(np.int32),
+        src_ids=src_ids.astype(np.int32),
+        src=src_l.astype(np.int32),
+        dst=dst_l.astype(np.int32),
+        edge_weight=w,
+        dst_mask=dst_mask,
+        src_mask=src_mask,
         n_dst=int(dst_ids.shape[0]),
         n_src=int(src_ids.shape[0]),
         n_edge=int(n_edge),

@@ -45,15 +45,16 @@ class NeighborSampler(BaseSampler):
         frontier, fmask = dst_ids, dst_mask
         for fanout in reversed(self.fanouts):
             sampled, smask = sample_neighbors_padded(g, frontier, fmask, fanout, self._rng)
+            # Keep leaves as host numpy: samplers are host-side producers; arrays move
+            # to device in one batch at jit-call time (avoids per-array tunnel chatter
+            # and any device round-trip during sampling).
             blocks.insert(
                 0,
                 Block(
-                    dst_ids=jnp.asarray(frontier, jnp.int32),
-                    src_ids=jnp.asarray(
-                        np.concatenate([frontier, sampled.reshape(-1)]), jnp.int32
-                    ),
-                    neigh_mask=jnp.asarray(smask),
-                    dst_mask=jnp.asarray(fmask),
+                    dst_ids=frontier.astype(np.int32),
+                    src_ids=np.concatenate([frontier, sampled.reshape(-1)]).astype(np.int32),
+                    neigh_mask=smask,
+                    dst_mask=fmask,
                     fanout=fanout,
                     n_dst=frontier.shape[0],
                 ),

@@ -1,0 +1,39 @@
+from dgll_tpu.train.checkpoint import CheckpointManager
+from dgll_tpu.train.metrics import (
+    METRIC_FOR_DATASET,
+    accuracy,
+    macro_f1,
+    masked_bce_loss,
+    masked_nll_loss,
+    micro_f1,
+    roc_auc,
+)
+from dgll_tpu.train.trainer import (
+    FullBatchTrainer,
+    MiniBatchTrainer,
+    TrainState,
+    create_train_state,
+    make_block_eval,
+    make_block_step,
+    make_full_batch_eval,
+    make_full_batch_step,
+)
+
+__all__ = [
+    "CheckpointManager",
+    "accuracy",
+    "micro_f1",
+    "macro_f1",
+    "roc_auc",
+    "masked_nll_loss",
+    "masked_bce_loss",
+    "METRIC_FOR_DATASET",
+    "FullBatchTrainer",
+    "MiniBatchTrainer",
+    "TrainState",
+    "create_train_state",
+    "make_full_batch_step",
+    "make_full_batch_eval",
+    "make_block_step",
+    "make_block_eval",
+]

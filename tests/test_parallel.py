@@ -1,0 +1,137 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4's Gloo-trick twin)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dgll_tpu.data import gcn_normalize, synthetic_classification_graph
+from dgll_tpu.nn import GraphSAGE
+from dgll_tpu.ops import spmm_coo
+from dgll_tpu.parallel import (
+    ShardedDataLoader,
+    make_dp_block_step,
+    make_mesh,
+    make_sharded_spmm,
+    partition_graph,
+    shard_partitioned_graph,
+)
+from dgll_tpu.sampling import HostGraph, NeighborSampler
+from dgll_tpu.train.metrics import masked_nll_loss
+
+
+@pytest.fixture(scope="module")
+def g():
+    return gcn_normalize(
+        synthetic_classification_graph(n_node=400, avg_degree=6, n_class=4, feat_dim=16, seed=0)
+    )
+
+
+def test_eight_devices_present():
+    assert jax.device_count() == 8
+
+
+def test_partition_preserves_edges(g):
+    pg = partition_graph(g, 4)
+    # every real edge appears exactly once with its weight
+    w_sum = float(jnp.sum(pg.edge_weight))
+    np.testing.assert_allclose(w_sum, float(jnp.sum(g.edge_weight)), rtol=1e-5)
+    assert pg.src.shape[0] == 4 and pg.src.shape == pg.dst_local.shape
+
+
+@pytest.mark.parametrize("strategy", ["contiguous", "bfs"])
+def test_sharded_spmm_matches_single_device(g, strategy):
+    mesh = make_mesh(("data",))
+    pg = partition_graph(g, mesh.devices.size, strategy=strategy)
+    pgs = shard_partitioned_graph(pg, mesh)
+    spmm = make_sharded_spmm(mesh, pgs)
+
+    x = pg.node_feat  # relabeled order
+    out = np.asarray(spmm(x))
+
+    # reference: single-device spmm in the same relabeled space
+    perm = np.asarray(pg.perm)
+    src_new = perm[np.asarray(g.src)[: g.n_real_edge]]
+    dst_new = perm[np.asarray(g.dst)[: g.n_real_edge]]
+    w = np.asarray(g.edge_weight)[: g.n_real_edge]
+    expect = np.asarray(
+        spmm_coo(jnp.asarray(src_new), jnp.asarray(dst_new), x, pg.n_node, jnp.asarray(w))
+    )
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_gp_full_graph_gcn_trains(g):
+    """2-layer GCN over the partitioned graph: loss decreases, grads flow via collectives."""
+    mesh = make_mesh(("data",))
+    pg = partition_graph(g, mesh.devices.size)
+    pgs = shard_partitioned_graph(pg, mesh)
+    spmm = make_sharded_spmm(mesh, pgs)
+
+    d_in, hidden, n_class = 16, 32, 4
+    rng = np.random.default_rng(0)
+    params = {
+        "w1": jnp.asarray(rng.normal(0, 0.1, (d_in, hidden)).astype(np.float32)),
+        "w2": jnp.asarray(rng.normal(0, 0.1, (hidden, n_class)).astype(np.float32)),
+    }
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    x = pg.node_feat
+    labels = pg.labels
+    mask = pg.train_mask
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_of(p):
+            h = jax.nn.relu(spmm(x @ p["w1"]))
+            logp = jax.nn.log_softmax(spmm(h @ p["w2"]))
+            return masked_nll_loss(logp, labels, mask)
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state2 = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+
+
+def test_dp_minibatch_step_runs_and_learns(g):
+    mesh = make_mesh(("data",))
+    D = mesh.devices.size
+    sampler = NeighborSampler([4, 4], seed=0)
+    hg = HostGraph.from_graph(g)
+    loader = ShardedDataLoader(hg, np.arange(g.n_real_node), sampler, per_device_batch=8,
+                               n_shard=D, seed=0)
+
+    model = GraphSAGE(hidden=16, n_class=4, dropout=0.0)
+
+    def model_apply(params, blocks, x, rng):
+        return model.apply({"params": params}, blocks, x, deterministic=True)
+
+    # init params from one local batch
+    outs, blocks = next(iter(loader))
+    local_blocks = jax.tree.map(lambda a: a[0], blocks,
+                                is_leaf=lambda a: isinstance(a, jax.Array))
+    x0 = jnp.take(g.node_feat, local_blocks[0].src_ids, axis=0)
+    params = model.init(jax.random.key(0), local_blocks, x0)["params"]
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    step = make_dp_block_step(mesh, model_apply, tx)
+
+    feats, labels = g.node_feat, g.labels
+    losses = []
+    for epoch in range(6):
+        for outs, blocks in loader:
+            x = jnp.stack(
+                [jnp.take(feats, blocks[0].src_ids[d], axis=0) for d in range(D)]
+            )
+            y = jnp.stack([jnp.take(labels, blocks[-1].dst_ids[d], axis=0) for d in range(D)])
+            m = blocks[-1].dst_mask
+            params, opt_state, loss = step(params, opt_state, blocks, x, y, m,
+                                           jax.random.key(epoch))
+            losses.append(float(loss))
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
