@@ -1,0 +1,3 @@
+from dgll_tpu.cache.feature_cache import HBMFeatureCache
+
+__all__ = ["HBMFeatureCache"]

@@ -1,0 +1,103 @@
+"""HBM-resident hot-node feature cache.
+
+TPU-native re-design of ``GraphCacheServer``
+(``/root/reference/dgll/FeatureCache/storage.py:12-221``): for graphs whose feature
+matrix exceeds device HBM, keep the hottest rows (top in/out-degree — the reference's
+policy, ``storage.py:94-98``) resident on device and serve misses from the host store
+with one batched transfer per minibatch.
+
+Mapping from the reference:
+
+* ``auto_cache``          -> :meth:`auto_cache` (capacity from an HBM byte budget
+  instead of CUDA mem probes, ``storage.py:64-98``)
+* ``cache_fix_data``      -> :meth:`fill` (explicit node set)
+* ``fetch_data``/``fetch_from_cache``/``get_feat_from_server``
+                          -> :meth:`fetch` (device gather for hits + host gather/H2D
+  for misses, merged on device; hit/miss split is computed host-side from a numpy
+  mirror of the cache map so the device never round-trips during sampling)
+* ``get_miss_rate``       -> :meth:`miss_rate` (hit/miss counters)
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class HBMFeatureCache:
+    def __init__(self, host_features: np.ndarray, device: Optional[jax.Device] = None):
+        self.host = np.ascontiguousarray(host_features)
+        self.n, self.d = self.host.shape
+        self.device = device
+        self.cache: Optional[jax.Array] = None        # [K, d] device
+        self.cache_pos = np.full(self.n, -1, np.int64)  # host mirror: node -> cache row
+        self.k = 0
+        self.lookups = 0
+        self.misses = 0
+
+    # ------------------------------------------------------------------ fill
+    def capacity_for_budget(self, budget_bytes: int) -> int:
+        """Rows that fit in ``budget_bytes`` (ref capacity model, ``storage.py:72-82``)."""
+        row = self.d * self.host.dtype.itemsize
+        return max(0, int(budget_bytes // row))
+
+    def auto_cache(self, scores: np.ndarray, budget_bytes: int) -> int:
+        """Cache the top-scoring nodes (typically degrees) within the byte budget."""
+        k = min(self.capacity_for_budget(budget_bytes), self.n)
+        if k <= 0:
+            return 0
+        top = np.argpartition(-np.asarray(scores), k - 1)[:k]
+        self.fill(top)
+        return k
+
+    def fill(self, node_ids: np.ndarray) -> None:
+        node_ids = np.asarray(node_ids, np.int64)
+        self.k = len(node_ids)
+        self.cache_pos[:] = -1
+        self.cache_pos[node_ids] = np.arange(self.k)
+        rows = self.host[node_ids]
+        self.cache = (
+            jax.device_put(rows, self.device) if self.device else jnp.asarray(rows)
+        )
+
+    @property
+    def cached_whole_graph(self) -> bool:
+        return self.k >= self.n
+
+    # ----------------------------------------------------------------- fetch
+    def fetch(self, node_ids: np.ndarray) -> jax.Array:
+        """Features for ``node_ids`` [B] -> [B, d] on device.
+
+        Hits gather from the HBM cache; misses are gathered host-side and shipped in
+        one H2D transfer, then merged with a device scatter. Shapes vary with the miss
+        count, so call outside jit (the downstream train step is the jitted part).
+        """
+        node_ids = np.asarray(node_ids, np.int64)
+        self.lookups += len(node_ids)
+        if self.cache is None:
+            return jnp.asarray(self.host[node_ids])
+
+        pos = self.cache_pos[node_ids]
+        hit = pos >= 0
+        n_miss = int((~hit).sum())
+        self.misses += n_miss
+
+        safe_pos = np.where(hit, pos, 0)
+        out = jnp.take(self.cache, jnp.asarray(safe_pos, jnp.int32), axis=0)
+        if n_miss:
+            miss_idx = np.nonzero(~hit)[0]
+            miss_feats = jnp.asarray(self.host[node_ids[miss_idx]])
+            out = out.at[jnp.asarray(miss_idx, jnp.int32)].set(miss_feats)
+        return out
+
+    # --------------------------------------------------------------- metrics
+    def miss_rate(self) -> Tuple[float, int, int]:
+        """(miss_rate, lookups, misses) — ref ``get_miss_rate`` (``storage.py:217-221``)."""
+        rate = self.misses / self.lookups if self.lookups else 0.0
+        return rate, self.lookups, self.misses
+
+    def reset_counters(self) -> None:
+        self.lookups = 0
+        self.misses = 0

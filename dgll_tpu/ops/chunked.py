@@ -1,0 +1,146 @@
+"""Chunked CSR layout: the host-side prep for the Pallas segment-matmul SpMM.
+
+The TPU has no fast scatter (no atomics; XLA lowers ``segment_sum`` to a serialized
+scatter-add). The TPU-native aggregation is to turn the scatter into MXU matmuls:
+
+* edges (sorted by destination) are cut at 128-row ("row block") boundaries and packed
+  into fixed-size chunks of ``EB`` edges;
+* per chunk, a one-hot matrix ``S[r, e] = w_e * [dst_e == r]`` is built **in-kernel**
+  and ``S @ M`` (M = gathered source rows) produces the chunk's contribution to its
+  row block — a [128, EB] x [EB, F] matmul on the systolic array;
+* consecutive chunks of the same row block accumulate by output-block revisiting.
+
+This file: the layout + its construction + a pure-XLA reference implementation
+(used on CPU and in tests). The Pallas kernel lives in
+``dgll_tpu/ops/pallas/segment_matmul.py``.
+
+Capability parity: this is the compiled-kernel replacement for the reference's fused
+CUDA GCN kernel (``/root/reference/dgll/FusedKernel/gcn_fused_kernel.cu:5-74``) —
+same role (the hot aggregation), hardware-appropriate decomposition (MXU one-hot
+matmul instead of warp-per-column shared-memory tiling).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+R_BLOCK = 128  # output rows per block (MXU tile height)
+
+
+@struct.dataclass
+class ChunkedCSR:
+    """Edges packed into [n_chunk, EB] slots; chunk c feeds row block row_block[c]."""
+
+    src: jax.Array        # [n_chunk, EB] int32 global source ids (0 on padding)
+    dst_local: jax.Array  # [n_chunk, EB] int32 in [0, R_BLOCK) (0 on padding)
+    weight: jax.Array     # [n_chunk, EB] float32 (0 on padding)
+    row_block: jax.Array  # [n_chunk] int32, non-decreasing
+    n_chunk: int = struct.field(pytree_node=False, default=0)
+    eb: int = struct.field(pytree_node=False, default=512)
+    n_rows: int = struct.field(pytree_node=False, default=0)  # padded to R_BLOCK
+    n_cols: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def n_row_blocks(self) -> int:
+        return self.n_rows // R_BLOCK
+
+
+def build_chunked(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+    weight: Optional[np.ndarray] = None,
+    eb: int = 512,
+) -> ChunkedCSR:
+    """Pack a COO edge list (any order) into the chunked layout (host, numpy)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.ones(len(src), np.float32) if weight is None else np.asarray(weight, np.float32)
+
+    order = np.argsort(dst, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+
+    nb = -(-n_rows // R_BLOCK)
+    n_rows_pad = nb * R_BLOCK
+    blk = dst // R_BLOCK
+    counts = np.bincount(blk, minlength=nb)
+    # every row block gets >= 1 chunk (an all-padding chunk writes zeros), so the
+    # kernel's output-revisiting covers every output row exactly once
+    chunks_per_blk = np.maximum(-(-counts // eb), 1)
+    # pad total chunk count to a multiple of 8: the kernel streams chunk metadata in
+    # (8, EB) sublane-tiled blocks; trailing pad chunks carry weight 0 and the last
+    # row block id (non-decreasing, zero contribution)
+    n_chunk_real = int(chunks_per_blk.sum())
+    n_chunk = ((n_chunk_real + 7) // 8) * 8
+
+    S = np.zeros((n_chunk, eb), np.int32)
+    D = np.zeros((n_chunk, eb), np.int32)
+    W = np.zeros((n_chunk, eb), np.float32)
+    RB = np.zeros(n_chunk, np.int32)
+
+    e0 = 0
+    c = 0
+    for b in range(nb):
+        cnt = int(counts[b])
+        for k in range(int(chunks_per_blk[b])):
+            lo = e0 + k * eb
+            hi = min(e0 + (k + 1) * eb, e0 + cnt)
+            m = hi - lo
+            S[c, :m] = src[lo:hi]
+            D[c, :m] = dst[lo:hi] - b * R_BLOCK
+            W[c, :m] = w[lo:hi]
+            RB[c] = b
+            c += 1
+        e0 += cnt
+    RB[c:] = nb - 1  # trailing pad chunks
+    # host numpy leaves by design; move with chunked_to_device once
+    return ChunkedCSR(
+        src=S,
+        dst_local=D,
+        weight=W,
+        row_block=RB,
+        n_chunk=n_chunk,
+        eb=eb,
+        n_rows=n_rows_pad,
+        n_cols=n_cols,
+    )
+
+
+def build_chunked_pair(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_rows: int,
+    n_cols: int,
+    weight: Optional[np.ndarray] = None,
+    eb: int = 512,
+) -> Tuple[ChunkedCSR, ChunkedCSR]:
+    """Chunked layouts for A and A^T (the transpose drives the backward pass)."""
+    a = build_chunked(src, dst, n_rows, n_cols, weight, eb)
+    at = build_chunked(dst, src, n_cols, n_rows, weight, eb)
+    return a, at
+
+
+def chunked_to_device(c: ChunkedCSR) -> ChunkedCSR:
+    return jax.tree.map(jnp.asarray, c)
+
+
+def spmm_chunked_xla(c: ChunkedCSR, x: jax.Array) -> jax.Array:
+    """Pure-XLA reference of the chunked one-hot matmul (CPU path / kernel oracle).
+
+    out[rb*R + r, :] = sum_chunks sum_e w[c,e] * [dst_local[c,e]==r] * x[src[c,e], :]
+    """
+    msg = jnp.take(x, c.src.reshape(-1), axis=0).reshape(c.n_chunk, c.eb, -1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, c.eb), 0)
+    # S: [n_chunk, R, EB]
+    S = jnp.where(
+        rows[None] == c.dst_local[:, None, :], c.weight[:, None, :], 0.0
+    ).astype(x.dtype)
+    partial = jnp.einsum("cre,ced->crd", S, msg,
+                         preferred_element_type=jnp.float32)
+    out = jax.ops.segment_sum(partial, c.row_block, num_segments=c.n_row_blocks)
+    return out.reshape(c.n_rows, -1).astype(x.dtype)

@@ -1,0 +1,115 @@
+"""Chunked one-hot segment-matmul SpMM: layout, XLA reference, Pallas kernel
+(interpret mode on CPU), and custom VJP vs autodiff oracle."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgll_tpu.ops.chunked import (
+    R_BLOCK,
+    build_chunked,
+    build_chunked_pair,
+    spmm_chunked_xla,
+)
+from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked, spmm_chunked_pallas
+from dgll_tpu.ops.spmm import spmm_coo
+
+
+@pytest.fixture(scope="module")
+def coo():
+    rng = np.random.default_rng(0)
+    n, e, d = 300, 4000, 128
+    src = rng.integers(0, n, e)
+    # power-law-ish dst so some row blocks are heavy, some empty after padding
+    p = (np.arange(n) + 1.0) ** -1.2
+    p /= p.sum()
+    dst = rng.choice(n, size=e, p=p)
+    w = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return src, dst, w, x, n
+
+
+def dense_expect(src, dst, w, x, n):
+    A = np.zeros((n, n), np.float32)
+    np.add.at(A, (dst, src), w)
+    return A @ x
+
+
+def test_layout_roundtrip(coo):
+    src, dst, w, x, n = coo
+    c = build_chunked(src, dst, n, n, w, eb=256)
+    # every real edge appears once: total weight preserved
+    np.testing.assert_allclose(c.weight.sum(), w.sum(), rtol=1e-4)
+    # chunk row blocks cover all blocks (empty blocks get padding chunks)
+    assert set(np.asarray(c.row_block)) == set(range(c.n_row_blocks))
+    assert np.all(np.diff(np.asarray(c.row_block)) >= 0)
+    assert np.all(np.asarray(c.dst_local) < R_BLOCK)
+
+
+def test_xla_reference_matches_dense(coo):
+    src, dst, w, x, n = coo
+    c = build_chunked(src, dst, n, n, w, eb=256)
+    out = spmm_chunked_xla(c, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out)[:n], dense_expect(src, dst, w, x, n), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_pallas_kernel_matches_dense(coo):
+    src, dst, w, x, n = coo
+    c = build_chunked(src, dst, n, n, w, eb=256)
+    msg = jnp.take(jnp.asarray(x), c.src.reshape(-1), axis=0)
+    out = spmm_chunked_pallas(c, msg, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out)[:n], dense_expect(src, dst, w, x, n), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_pallas_fused_bias_relu(coo):
+    src, dst, w, x, n = coo
+    c = build_chunked(src, dst, n, n, w, eb=256)
+    bias = np.linspace(-1, 1, x.shape[1]).astype(np.float32)
+    msg = jnp.take(jnp.asarray(x), c.src.reshape(-1), axis=0)
+    out = spmm_chunked_pallas(c, msg, jnp.asarray(bias), activation="relu",
+                              interpret=True)
+    expect = np.maximum(dense_expect(src, dst, w, x, n) + bias, 0.0)
+    np.testing.assert_allclose(np.asarray(out)[:n], expect, rtol=1e-3, atol=1e-3)
+
+
+def test_custom_vjp_matches_autodiff(coo):
+    src, dst, w, x, n = coo
+    c, ct = build_chunked_pair(src, dst, n, n, w, eb=256)
+    bias = jnp.asarray(np.linspace(-0.5, 0.5, x.shape[1]).astype(np.float32))
+    xj = jnp.asarray(x)
+    srcj, dstj, wj = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w)
+
+    def pallas_loss(x_, b_):
+        out = spmm_chunked(c, ct, x_, b_, "relu", True)
+        return jnp.sum(out[:n] ** 2)
+
+    def ref_loss(x_, b_):
+        out = jax.nn.relu(spmm_coo(srcj, dstj, x_, n, wj) + b_)
+        return jnp.sum(out ** 2)
+
+    np.testing.assert_allclose(float(pallas_loss(xj, bias)), float(ref_loss(xj, bias)),
+                               rtol=1e-3)
+    gx_p, gb_p = jax.grad(pallas_loss, argnums=(0, 1))(xj, bias)
+    gx_r, gb_r = jax.grad(ref_loss, argnums=(0, 1))(xj, bias)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r), rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r), rtol=1e-3, atol=1e-2)
+
+
+def test_rectangular_block(coo):
+    """Bipartite A [rows x cols] with rows != cols (sampled-block shape)."""
+    rng = np.random.default_rng(1)
+    rows, cols, e, d = 100, 250, 1500, 128
+    src = rng.integers(0, cols, e)
+    dst = rng.integers(0, rows, e)
+    w = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(cols, d)).astype(np.float32)
+    c = build_chunked(src, dst, rows, cols, w, eb=128)
+    msg = jnp.take(jnp.asarray(x), c.src.reshape(-1), axis=0)
+    out = spmm_chunked_pallas(c, msg, interpret=True)
+    A = np.zeros((rows, cols), np.float32)
+    np.add.at(A, (dst, src), w)
+    np.testing.assert_allclose(np.asarray(out)[:rows], A @ x, rtol=1e-3, atol=1e-3)
