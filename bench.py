@@ -92,12 +92,24 @@ def main() -> None:
     jax.block_until_ready(loss)
     _log(f"compiled {time.perf_counter()-t0:.1f}s")
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        b, x, y, m = pool[i % len(pool)]
-        state, loss = tr.step(state, b, x, y, m, key)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / steps
+    # dependent-chain timing with scalar D2H fences: on relay-attached TPUs,
+    # block_until_ready can return early, so we fit the per-step slope from two
+    # chain lengths (the train state chains step k to step k+1)
+    def run_chain(k: int) -> float:
+        nonlocal state
+        t0 = time.perf_counter()
+        loss = None
+        for i in range(k):
+            b, x, y, m = pool[i % len(pool)]
+            state, loss = tr.step(state, b, x, y, m, key)
+        float(loss)  # force the whole chain
+        return time.perf_counter() - t0
+
+    k_small = max(steps // 3, 1)
+    run_chain(2)
+    t_small = run_chain(k_small)
+    t_large = run_chain(steps)
+    dt = max((t_large - t_small) / (steps - k_small), 1e-9)
     batch_ms = dt * 1e3
 
     # edges aggregated per batch across both layers

@@ -74,15 +74,11 @@ def deepwalk_walks(
     Zero-degree nodes self-loop (the reference truncates; fixed length keeps downstream
     shapes static — self-loop contexts are neutral for skip-gram).
     """
-    rng = np.random.default_rng(seed)
+    from dgll_tpu import native
+
     starts = np.arange(wg.n_node) if nodes is None else np.asarray(nodes)
     cur = np.tile(starts, num_walks)
-    walks = np.empty((len(cur), walk_length), np.int64)
-    walks[:, 0] = cur
-    for t in range(1, walk_length):
-        cur = wg.sample_neighbor(cur, rng)
-        walks[:, t] = cur
-    return walks
+    return native.random_walks(wg.indptr, wg.nbrs, cur, walk_length, seed)
 
 
 def node2vec_walks(
@@ -96,9 +92,15 @@ def node2vec_walks(
     1/q otherwise. ``max_reject`` rounds bound the loop; leftover rejections fall
     back to the last proposal (bias negligible for moderate p/q).
     """
-    rng = np.random.default_rng(seed)
+    from dgll_tpu import native
+
     starts = np.arange(wg.n_node) if nodes is None else np.asarray(nodes)
     cur = np.tile(starts, num_walks)
+    nat = native.node2vec_walks_native(wg.indptr, wg.nbrs, cur, walk_length, p, q, seed)
+    if nat is not None:
+        return nat
+
+    rng = np.random.default_rng(seed)
     prev = cur.copy()
     walks = np.empty((len(cur), walk_length), np.int64)
     walks[:, 0] = cur

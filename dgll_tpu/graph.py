@@ -93,13 +93,12 @@ class Graph:
                     [edge_weight, np.ones(loop.shape[0], np.float32)]
                 )
 
-        order = np.argsort(dst, kind="stable")
+        from dgll_tpu import native
+
+        indptr, order = native.build_csr(dst, n_node)
         src, dst = src[order], dst[order]
         if edge_weight is not None:
             edge_weight = edge_weight[order]
-        indptr = np.zeros(n_node + 1, dtype=np.int64)
-        np.add.at(indptr, dst + 1, 1)
-        indptr = np.cumsum(indptr)
 
         n_edge = src.shape[0]
         # Leaves stay HOST numpy: graph construction/normalisation/sampling are

@@ -1,0 +1,178 @@
+"""ctypes loader for the native host kernels (``dgll_tpu/csrc/graph_kernels.cpp``).
+
+Compiles the shared library on first use (g++, cached next to the source) and exposes
+numpy-friendly wrappers. Every entry point has a pure-numpy fallback, so the package
+works without a toolchain; ``native_available()`` reports which path is active.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
+_SRC = os.path.join(_DIR, "graph_kernels.cpp")
+_SO = os.path.join(_DIR, "libdgll_host.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _compile() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+        "-o", _SO, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _compile():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.dgll_build_csr.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p]
+        lib.dgll_sample_neighbors.argtypes = [
+            i64p, i64p, i64p, u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, i64p, u8p,
+        ]
+        lib.dgll_random_walks.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, i64p,
+        ]
+        lib.dgll_node2vec_walks.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_uint64, i64p,
+        ]
+        lib.dgll_abi_version.restype = ctypes.c_int
+        if lib.dgll_abi_version() != 1:
+            return None
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def _p64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _pu8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def build_csr(dst: np.ndarray, n_node: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(indptr [n+1], order [e]) — stable sort permutation of edges by dst."""
+    dst = np.ascontiguousarray(dst, np.int64)
+    e = len(dst)
+    lib = get_lib()
+    if lib is None:
+        order = np.argsort(dst, kind="stable")
+        indptr = np.zeros(n_node + 1, np.int64)
+        np.add.at(indptr, dst + 1, 1)
+        return np.cumsum(indptr), order
+    indptr = np.empty(n_node + 1, np.int64)
+    order = np.empty(e, np.int64)
+    lib.dgll_build_csr(_p64(dst), e, n_node, _p64(indptr), _p64(order))
+    return indptr, order
+
+
+def sample_neighbors(
+    indptr: np.ndarray, nbrs: np.ndarray, nodes: np.ndarray, mask: np.ndarray,
+    fanout: int, seed: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[b, fanout] with-replacement neighbour sample + validity mask."""
+    lib = get_lib()
+    b = len(nodes)
+    if lib is None:
+        return _np_sample(indptr, nbrs, nodes, mask, fanout, seed)
+    nodes = np.ascontiguousarray(nodes, np.int64)
+    mask8 = np.ascontiguousarray(mask, np.uint8)
+    out = np.empty(b * fanout, np.int64)
+    om = np.empty(b * fanout, np.uint8)
+    lib.dgll_sample_neighbors(
+        _p64(np.ascontiguousarray(indptr, np.int64)),
+        _p64(np.ascontiguousarray(nbrs, np.int64)),
+        _p64(nodes), _pu8(mask8), b, fanout, seed & 0xFFFFFFFFFFFFFFFF,
+        _p64(out), _pu8(om),
+    )
+    return out.reshape(b, fanout), om.reshape(b, fanout).astype(bool)
+
+
+def _np_sample(indptr, nbrs, nodes, mask, fanout, seed):
+    rng = np.random.default_rng(seed)
+    nodes = np.asarray(nodes, np.int64)
+    deg = indptr[nodes + 1] - indptr[nodes]
+    start = indptr[nodes]
+    valid = (deg > 0) & np.asarray(mask, bool)
+    off = (rng.random((len(nodes), fanout)) * np.maximum(deg, 1)[:, None]).astype(np.int64)
+    idx = np.minimum(start[:, None] + off, max(len(nbrs) - 1, 0))
+    sampled = nbrs[idx] if len(nbrs) else np.zeros_like(idx)
+    m = np.broadcast_to(valid[:, None], (len(nodes), fanout))
+    return np.where(m, sampled, nodes[:, None]), m.copy()
+
+
+def random_walks(indptr, nbrs, starts, walk_length: int, seed: int) -> np.ndarray:
+    lib = get_lib()
+    starts = np.ascontiguousarray(starts, np.int64)
+    nw = len(starts)
+    if lib is None:
+        return _np_walks(indptr, nbrs, starts, walk_length, seed)
+    walks = np.empty(nw * walk_length, np.int64)
+    lib.dgll_random_walks(
+        _p64(np.ascontiguousarray(indptr, np.int64)),
+        _p64(np.ascontiguousarray(nbrs, np.int64)),
+        _p64(starts), nw, walk_length, seed & 0xFFFFFFFFFFFFFFFF, _p64(walks),
+    )
+    return walks.reshape(nw, walk_length)
+
+
+def _np_walks(indptr, nbrs, starts, L, seed):
+    rng = np.random.default_rng(seed)
+    cur = starts.copy()
+    walks = np.empty((len(cur), L), np.int64)
+    walks[:, 0] = cur
+    for t in range(1, L):
+        deg = indptr[cur + 1] - indptr[cur]
+        off = (rng.random(len(cur)) * np.maximum(deg, 1)).astype(np.int64)
+        nxt = nbrs[np.minimum(indptr[cur] + off, max(len(nbrs) - 1, 0))] if len(nbrs) else cur
+        cur = np.where(deg > 0, nxt, cur)
+        walks[:, t] = cur
+    return walks
+
+
+def node2vec_walks_native(indptr, nbrs_sorted, starts, walk_length: int, p: float,
+                          q: float, seed: int) -> Optional[np.ndarray]:
+    """Biased walks; returns None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, np.int64)
+    nw = len(starts)
+    walks = np.empty(nw * walk_length, np.int64)
+    lib.dgll_node2vec_walks(
+        _p64(np.ascontiguousarray(indptr, np.int64)),
+        _p64(np.ascontiguousarray(nbrs_sorted, np.int64)),
+        _p64(starts), nw, walk_length, p, q, seed & 0xFFFFFFFFFFFFFFFF, _p64(walks),
+    )
+    return walks.reshape(nw, walk_length)

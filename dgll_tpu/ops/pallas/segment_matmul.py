@@ -48,7 +48,7 @@ def _kernel(row_block_ref, dstl_ref, w_ref, msg_ref, bias_ref, out_ref, acc_ref,
     w = w_ref[pl.ds(cm, 1), :]         # [1, EB]
     rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, eb), 0)
     S = jnp.where(rows == dstl, w, 0.0).astype(msg_ref.dtype)
-    part = jnp.dot(S, msg_ref[0], preferred_element_type=jnp.float32)  # [R, Ft]
+    part = jnp.dot(S, msg_ref[:], preferred_element_type=jnp.float32)  # [R, Ft]
 
     @pl.when(is_first)
     def _():
@@ -84,8 +84,8 @@ def spmm_chunked_pallas(
     """
     f = msg.shape[-1]
     assert f % ft == 0, (f, ft)
+    assert msg.shape[0] == c.n_chunk * c.eb, (msg.shape, c.n_chunk, c.eb)
     out_dtype = out_dtype or msg.dtype
-    msg3 = msg.reshape(c.n_chunk, c.eb, f)
     has_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((f,), msg.dtype)
@@ -100,7 +100,9 @@ def spmm_chunked_pallas(
         in_specs=[
             pl.BlockSpec((8, c.eb), lambda j, ci, rb: (ci // 8, 0)),            # dst_local
             pl.BlockSpec((8, c.eb), lambda j, ci, rb: (ci // 8, 0)),            # weight
-            pl.BlockSpec((1, c.eb, ft), lambda j, ci, rb: (ci, 0, j)),          # msg
+            # msg stays rank-2 [n_chunk*EB, F]: rank-3 reshape of a gather output
+            # costs a full HBM copy on TPU; blocking rows (ci*EB, EB) is the same data
+            pl.BlockSpec((c.eb, ft), lambda j, ci, rb: (ci, j)),                # msg
             pl.BlockSpec((1, ft), lambda j, ci, rb: (0, j)),                    # bias
         ],
         out_specs=pl.BlockSpec((R_BLOCK, ft), lambda j, ci, rb: (rb[ci], j)),
@@ -116,7 +118,7 @@ def spmm_chunked_pallas(
             bytes_accessed=c.n_chunk * c.eb * (f * msg.dtype.itemsize + 8),
             transcendentals=0,
         ),
-    )(c.row_block, c.dst_local, c.weight, msg3, bias.reshape(1, f))
+    )(c.row_block, c.dst_local, c.weight, msg, bias.reshape(1, f))
 
 
 def _gather_msg(c: ChunkedCSR, x: jax.Array) -> jax.Array:

@@ -1,4 +1,20 @@
-from dgll_tpu.parallel.dp import ShardedDataLoader, make_dp_block_step, stack_block_lists
+from dgll_tpu.parallel.community import (
+    community_feature_slice,
+    detect_communities,
+    load_community_book,
+    max_community_size,
+    merge_groups,
+    relabel_communities,
+    run_cog,
+    save_community_book,
+    split_oversized,
+)
+from dgll_tpu.parallel.dp import (
+    ShardedDataLoader,
+    make_async_dp_block_step,
+    make_dp_block_step,
+    stack_block_lists,
+)
 from dgll_tpu.parallel.gp import (
     make_gp_gcn_train_step,
     make_sharded_spmm,
@@ -8,6 +24,16 @@ from dgll_tpu.parallel.mesh import make_mesh, replicated, sharded_dim0
 from dgll_tpu.parallel.partition import PartitionedGraph, partition_graph
 
 __all__ = [
+    "run_cog",
+    "detect_communities",
+    "merge_groups",
+    "split_oversized",
+    "relabel_communities",
+    "max_community_size",
+    "save_community_book",
+    "load_community_book",
+    "community_feature_slice",
+    "make_async_dp_block_step",
     "make_mesh",
     "replicated",
     "sharded_dim0",

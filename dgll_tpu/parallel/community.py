@@ -1,0 +1,180 @@
+"""COG — community-ordered graphs: detection, merging, contiguous relabeling.
+
+Parity with the reference COG pipeline (``/root/reference/dgll/GPU Accelerator/
+cog.py:107-254`` + ``main_cog.py``), dependency-free (label propagation instead of
+igraph/leidenalg — same role: modularity-flavoured clustering):
+
+* community detection           -> :func:`detect_communities` (label propagation)
+* capacity model                -> :func:`max_community_size` (HBM budget /
+  per-node feature+label bytes — ``cog.py:203-213``)
+* ``merge_groups``              -> :func:`merge_groups` (``cog.py:64-77``)
+* ``relabel_groups``            -> :func:`relabel_communities` (``cog.py:31-45``:
+  each community becomes a contiguous id range; features/labels reordered)
+* community book JSON           -> :func:`save_community_book` /
+  :func:`load_community_book` (``utils.py:224-251``)
+* contiguous feature slice      -> :func:`community_feature_slice`
+  (``load_subteatures``, ``utils.py:257-264``)
+
+Reordering is also the locality lever for the Pallas SpMM: community-contiguous ids
+concentrate a row block's sources into few feature panels.
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from dgll_tpu.graph import Graph
+
+
+def detect_communities(g: Graph, max_iters: int = 20, seed: int = 0) -> np.ndarray:
+    """Asynchronous label propagation over the (real) edges -> community id per node."""
+    n = g.n_real_node
+    indptr = np.asarray(g.indptr)[: n + 1].copy()
+    indptr[-1] = min(indptr[-1], g.n_real_edge)
+    nbrs = np.asarray(g.src)[: g.n_real_edge]
+    labels = np.arange(n, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    order = np.arange(n)
+    for _ in range(max_iters):
+        rng.shuffle(order)
+        changed = 0
+        for v in order:
+            row = nbrs[indptr[v] : indptr[v + 1]]
+            if row.size == 0:
+                continue
+            lab, cnt = np.unique(labels[row], return_counts=True)
+            best = lab[np.argmax(cnt)]
+            if best != labels[v]:
+                labels[v] = best
+                changed += 1
+        if changed == 0:
+            break
+    # compress ids
+    _, comp = np.unique(labels, return_inverse=True)
+    return comp
+
+
+def max_community_size(
+    hbm_budget_bytes: int, feat_dim: int, feat_bytes: int = 4, label_bytes: int = 4
+) -> int:
+    """Largest community whose features+labels fit the budget (``cog.py:203-213``)."""
+    per_node = feat_dim * feat_bytes + label_bytes
+    return max(1, int(hbm_budget_bytes // per_node))
+
+
+def merge_groups(part_of: np.ndarray, min_size: int) -> np.ndarray:
+    """Greedily merge communities smaller than ``min_size`` (``merge_groups:64-77``)."""
+    part_of = part_of.copy()
+    while True:
+        ids, sizes = np.unique(part_of, return_counts=True)
+        small = ids[sizes < min_size]
+        if small.size == 0 or ids.size == 1:
+            break
+        order = np.argsort(sizes)
+        sorted_ids = ids[order]
+        # merge the smallest into the next-smallest (repeat until all >= min_size)
+        a = sorted_ids[0]
+        b = sorted_ids[1]
+        part_of[part_of == a] = b
+    _, comp = np.unique(part_of, return_inverse=True)
+    return comp
+
+
+def split_oversized(part_of: np.ndarray, max_size: int, seed: int = 0) -> np.ndarray:
+    """Split communities above the capacity bound into max_size pieces."""
+    part_of = part_of.copy()
+    nxt = int(part_of.max()) + 1
+    for cid in np.unique(part_of):
+        members = np.nonzero(part_of == cid)[0]
+        if len(members) <= max_size:
+            continue
+        for i in range(max_size, len(members), max_size):
+            part_of[members[i : i + max_size]] = nxt
+            nxt += 1
+    _, comp = np.unique(part_of, return_inverse=True)
+    return comp
+
+
+def relabel_communities(g: Graph, part_of: np.ndarray) -> Tuple[Graph, Dict]:
+    """Reorder node ids so each community is a contiguous range (``cog.py:31-45``).
+
+    Returns the reordered Graph (features/labels/masks permuted, edges remapped)
+    and the community book ``{cid: [start, end)}``.
+    """
+    n = g.n_real_node
+    order = np.argsort(part_of, kind="stable")  # nodes grouped by community
+    new_id = np.empty(n, np.int64)
+    new_id[order] = np.arange(n)
+
+    ids, counts = np.unique(part_of, return_counts=True)
+    starts = np.zeros(len(ids) + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    book = {int(c): [int(starts[i]), int(starts[i + 1])] for i, c in enumerate(ids)}
+
+    src = new_id[np.asarray(g.src)[: g.n_real_edge]]
+    dst = new_id[np.asarray(g.dst)[: g.n_real_edge]]
+    ew = None if g.edge_weight is None else np.asarray(g.edge_weight)[: g.n_real_edge]
+
+    def _perm(x):
+        return None if x is None else np.asarray(x)[:n][order]
+
+    g2 = Graph.from_edges(
+        src, dst, n,
+        edge_weight=ew,
+        node_feat=_perm(g.node_feat),
+        labels=_perm(g.labels),
+        train_mask=_perm(g.train_mask),
+        val_mask=_perm(g.val_mask),
+        test_mask=_perm(g.test_mask),
+    )
+    return g2, book
+
+
+def run_cog(
+    g: Graph,
+    hbm_budget_bytes: int = 1 << 30,
+    batch_size: int = 1024,
+    seed: int = 0,
+) -> Tuple[Graph, Dict, Dict[str, float]]:
+    """Full COG pipeline: detect -> merge small -> split oversized -> relabel.
+
+    Returns (reordered graph, community book, phase timings) — the reference persists
+    graph + book + timing CSV (``cog.py:234-253``); use ``save_community_book`` and
+    ``dgll_tpu.data.save_graph`` for the artifacts.
+    """
+    timings: Dict[str, float] = {}
+    t0 = time.perf_counter()
+    part = detect_communities(g, seed=seed)
+    timings["detect"] = time.perf_counter() - t0
+
+    feat_dim = 0 if g.node_feat is None else int(np.asarray(g.node_feat).shape[1])
+    cap = max_community_size(hbm_budget_bytes, max(feat_dim, 1))
+    t0 = time.perf_counter()
+    part = merge_groups(part, min_size=min(batch_size, g.n_real_node))
+    part = split_oversized(part, max_size=cap, seed=seed)
+    timings["merge_split"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    g2, book = relabel_communities(g, part)
+    timings["relabel"] = time.perf_counter() - t0
+    return g2, book, timings
+
+
+def save_community_book(book: Dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump({str(k): v for k, v in book.items()}, f)
+
+
+def load_community_book(path: str) -> Dict[int, List[int]]:
+    """ref ``load_community_book`` (``utils.py:247-251``)."""
+    with open(path) as f:
+        return {int(k): v for k, v in json.load(f).items()}
+
+
+def community_feature_slice(features, book: Dict, cid: int):
+    """Contiguous feature rows of one community (``load_subteatures:257-264``)."""
+    lo, hi = book[cid]
+    return features[lo:hi]

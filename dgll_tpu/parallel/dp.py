@@ -118,3 +118,55 @@ def make_dp_block_step(
         return optax.apply_updates(params, updates), opt_state2, loss
 
     return step
+
+
+def make_async_dp_block_step(
+    mesh: Mesh,
+    model_apply: Callable,
+    tx: optax.GradientTransformation,
+    axis: str = "data",
+    loss_fn=masked_nll_loss,
+):
+    """One-step-stale DP step — the compiler-scheduled equivalent of RaCoM's async
+    gradient queues (``MQGCN.py:55-79``): step k computes its gradients but applies
+    step k-1's, so the gradient ``pmean`` collective overlaps the next forward/backward
+    under XLA's latency-hiding scheduler (bounded staleness = 1, like the reference's
+    bounded ``gradient_buffer``).
+
+    Usage: carry ``prev_grads`` across steps (init with ``init_grads``); after the
+    final batch, apply the returned grads once more to flush.
+    """
+
+    def device_step(params, blocks, x, labels, mask, rng):
+        blocks = jax.tree.map(lambda a: a[0], blocks,
+                              is_leaf=lambda a: isinstance(a, jax.Array))
+        x, labels, mask = x[0], labels[0], mask[0]
+
+        def loss_of(p):
+            logp = model_apply(p, blocks, x, rng)
+            return loss_fn(logp, labels, mask)
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        return jax.lax.pmean(loss, axis), jax.lax.pmean(grads, axis)
+
+    def init_grads(params):
+        return jax.tree.map(jnp.zeros_like, params)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, opt_state, prev_grads, blocks, x, labels, mask, rng):
+        # apply the stale gradients first; their collective finished last step
+        updates, opt_state2 = tx.update(prev_grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        sharded = partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), jax.tree.map(lambda _: P(axis), blocks,
+                                        is_leaf=lambda a: isinstance(a, jax.Array)),
+                      P(axis), P(axis), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        loss, grads = sharded(device_step)(params2, blocks, x, labels, mask, rng)
+        return params2, opt_state2, grads, loss
+
+    return step, init_grads

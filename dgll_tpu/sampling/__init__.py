@@ -11,7 +11,11 @@ from dgll_tpu.sampling.layerwise import (
     geometric_layer_sizes,
     normalized_laplacian,
 )
-from dgll_tpu.sampling.neighbor import DGLLNeighborSampler, NeighborSampler
+from dgll_tpu.sampling.neighbor import (
+    CommunityNeighborSampler,
+    DGLLNeighborSampler,
+    NeighborSampler,
+)
 
 __all__ = [
     "BaseSampler",
@@ -20,6 +24,7 @@ __all__ = [
     "HostGraph",
     "sample_neighbors_padded",
     "NeighborSampler",
+    "CommunityNeighborSampler",
     "DGLLNeighborSampler",
     "FastGCNSampler",
     "LadiesSampler",

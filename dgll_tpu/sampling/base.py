@@ -142,18 +142,16 @@ def sample_neighbors_padded(
     """Uniformly sample ``fanout`` in-neighbours per node, with replacement.
 
     Returns ``(sampled [n, fanout] global ids, mask [n, fanout])``. Zero-degree or
-    masked rows fall back to the row's own id with mask 0. Vectorised replacement for
-    the reference's per-node ``random.sample`` loop (``base_sampler.py:45-58``).
+    masked rows fall back to the row's own id with mask 0. Vectorised/multithreaded
+    replacement for the reference's per-node ``random.sample`` loop
+    (``base_sampler.py:45-58``); uses the native C++ sampler when built.
     """
-    n = dst_ids.shape[0]
+    from dgll_tpu import native
+
     safe_ids = np.where(dst_mask, dst_ids, 0)
-    deg = g.degrees[safe_ids]
-    start = g.indptr[safe_ids]
-    valid = (deg > 0) & dst_mask
-    # draw offsets in [0, deg) with replacement
-    off = (rng.random((n, fanout)) * np.maximum(deg, 1)[:, None]).astype(np.int64)
-    idx = start[:, None] + off
-    sampled = g.src[np.minimum(idx, g.src.shape[0] - 1)]
-    mask = np.broadcast_to(valid[:, None], (n, fanout))
+    seed = int(rng.integers(0, 2**63 - 1))
+    sampled, mask = native.sample_neighbors(
+        g.indptr, g.src, safe_ids, dst_mask, fanout, seed
+    )
     sampled = np.where(mask, sampled, dst_ids[:, None])
     return sampled.astype(np.int64), mask

@@ -68,3 +68,55 @@ class NeighborSampler(BaseSampler):
 
 # Alias matching the reference class name for drop-in familiarity.
 DGLLNeighborSampler = NeighborSampler
+
+
+class CommunityNeighborSampler(NeighborSampler):
+    """Neighbour sampler restricted to a community's contiguous id range.
+
+    Parity with the community trainers' ``CommBNeighborSampler``
+    (``CommGNN_train.py:100-108`` — implementation absent from the reference
+    snapshot; designed from call sites): seeds and sampled neighbours stay inside
+    ``[lo, hi)``, so every feature row a batch touches lives in one contiguous
+    slice (the property COG's relabeling creates). Out-of-range neighbours are
+    masked out, matching the transductive "MOS" slicing (``CommGNNModel.py:54-56``).
+    """
+
+    def __init__(self, fanouts: Sequence[int], community_range: Tuple[int, int],
+                 seed: int = 0):
+        super().__init__(fanouts, seed)
+        self.lo, self.hi = int(community_range[0]), int(community_range[1])
+
+    def sample(self, g: HostGraph, seeds: np.ndarray, pad_to: Optional[int] = None):
+        seeds = np.asarray(seeds, np.int64)
+        assert ((seeds >= self.lo) & (seeds < self.hi)).all(), "seeds outside community"
+        b = len(seeds) if pad_to is None else int(pad_to)
+        dst_ids = np.full(b, self.lo, np.int64)
+        dst_ids[: len(seeds)] = seeds
+        dst_mask = np.zeros(b, bool)
+        dst_mask[: len(seeds)] = True
+
+        blocks: List[Block] = []
+        frontier, fmask = dst_ids, dst_mask
+        for fanout in reversed(self.fanouts):
+            sampled, smask = sample_neighbors_padded(g, frontier, fmask, fanout, self._rng)
+            in_range = (sampled >= self.lo) & (sampled < self.hi)
+            # out-of-range neighbours alias their destination (weight-0 via the mask),
+            # so every id a batch touches stays inside [lo, hi)
+            sampled = np.where(in_range, sampled, frontier[:, None])
+            smask &= in_range
+            blocks.insert(
+                0,
+                Block(
+                    dst_ids=frontier.astype(np.int32),
+                    src_ids=np.concatenate([frontier, sampled.reshape(-1)]).astype(np.int32),
+                    neigh_mask=smask,
+                    dst_mask=fmask,
+                    fanout=fanout,
+                    n_dst=frontier.shape[0],
+                ),
+            )
+            frontier = np.concatenate([frontier, sampled.reshape(-1)])
+            fmask = np.concatenate([fmask, smask.reshape(-1)])
+
+        input_nodes = np.asarray(blocks[0].src_ids, np.int64) if blocks else dst_ids
+        return input_nodes, dst_ids, blocks
