@@ -46,6 +46,10 @@ class Graph:
     val_mask: Optional[jax.Array] = None      # [n_node] bool
     test_mask: Optional[jax.Array] = None     # [n_node] bool
 
+    # Optional compiled-kernel layouts (ops/chunked.py); built by ``with_chunked``.
+    chunked: Optional[Any] = None     # ChunkedCSR of A (dst-major)
+    chunked_t: Optional[Any] = None   # ChunkedCSR of A^T (drives backward)
+
     # Static metadata (not traced).
     n_node: int = struct.field(pytree_node=False, default=0)
     n_edge: int = struct.field(pytree_node=False, default=0)
@@ -120,6 +124,22 @@ class Graph:
             n_real_node=int(n_node),
             n_real_edge=int(n_edge),
         )
+
+    def with_chunked(self, eb: int = 512) -> "Graph":
+        """Attach the chunked Pallas SpMM layouts (A and A^T) built from the real
+        edges + current edge weights. Layers then route weighted-sum aggregation
+        through the compiled kernel (``ops/pallas/segment_matmul.py``)."""
+        from dgll_tpu.ops.chunked import build_chunked_pair
+
+        src = np.asarray(self.src)[: self.n_real_edge]
+        dst = np.asarray(self.dst)[: self.n_real_edge]
+        w = (
+            None
+            if self.edge_weight is None
+            else np.asarray(self.edge_weight)[: self.n_real_edge]
+        )
+        c, ct = build_chunked_pair(src, dst, self.n_real_node, self.n_real_node, w, eb)
+        return self.replace(chunked=c, chunked_t=ct)
 
     def to_device(self, device=None) -> "Graph":
         """Move all array leaves to device (one batched transfer)."""

@@ -34,6 +34,19 @@ def _edge_weight(g):
     return getattr(g, "edge_weight", None)
 
 
+def _weighted_aggregate(g, h: jax.Array, n_dst: int) -> jax.Array:
+    """Weighted-sum aggregation, routed to the Pallas chunked kernel when the graph
+    carries a chunked layout (``Graph.with_chunked``) and the width is MXU-tileable;
+    falls back to the XLA segment path otherwise."""
+    c = getattr(g, "chunked", None)
+    if c is not None and h.shape[-1] % 128 == 0 and c.n_rows >= n_dst:
+        from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked
+
+        interpret = jax.default_backend() == "cpu"
+        return spmm_chunked(c, g.chunked_t, h, None, None, interpret)[:n_dst]
+    return spmm_coo(g.src, g.dst, h, n_dst, _edge_weight(g))
+
+
 class GCNConv(nn.Module):
     """``out = A_hat @ (X W) + b`` — transform-then-aggregate (W first keeps the SpMM
     operand at the smaller hidden width, same trick as the reference CUDA kernel)."""
@@ -45,7 +58,7 @@ class GCNConv(nn.Module):
     @nn.compact
     def __call__(self, g, x: jax.Array) -> jax.Array:
         h = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="weight")(x)
-        out = spmm_coo(g.src, g.dst, h, _n_dst(g), _edge_weight(g))
+        out = _weighted_aggregate(g, h, _n_dst(g))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             out = out + bias.astype(out.dtype)
@@ -140,7 +153,7 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, g, x: jax.Array) -> jax.Array:
         n_dst = _n_dst(g)
-        agg = spmm_coo(g.src, g.dst, x, n_dst, _edge_weight(g))
+        agg = _weighted_aggregate(g, x, n_dst)
         eps = (
             self.param("eps", nn.initializers.zeros, (), jnp.float32)
             if self.learn_eps

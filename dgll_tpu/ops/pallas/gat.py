@@ -1,0 +1,107 @@
+"""Differentiable chunked sparse attention ops + the full sparse GAT layer.
+
+Composes the three Pallas primitives (SpMM scatter, SDDMM dot, expand-rows
+broadcast) into custom-VJP ops, then a full-graph GAT attention layer with ONE
+feature gather per layer (source rows are gathered once and reused for scores and
+aggregation — the reference's sparse path gathers per op, ``gatconv.py:111-148``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dgll_tpu.ops.chunked import R_BLOCK, ChunkedCSR
+from dgll_tpu.ops.pallas.expand_rows import expand_rows_chunked
+from dgll_tpu.ops.pallas.sddmm import edge_softmax_chunked, sddmm_chunked_pallas
+from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked_pallas
+
+
+from dgll_tpu.ops.pallas.segment_matmul import zero_cotangent
+
+
+# ---------------------------------------------------------- spmm w/ dyn weights
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_dyn(interpret, c: ChunkedCSR, ct: ChunkedCSR, msg, weights):
+    return spmm_chunked_pallas(c, msg, weights=weights, interpret=interpret)
+
+
+def _spmm_dyn_fwd(interpret, c, ct, msg, weights):
+    out = spmm_chunked_pallas(c, msg, weights=weights, interpret=interpret)
+    return out, (c, ct, msg, weights)
+
+
+def _spmm_dyn_bwd(interpret, res, g):
+    c, ct, msg, weights = res
+    g_edges = expand_rows_chunked(c, g.astype(msg.dtype), interpret=interpret)
+    dmsg = weights.reshape(-1, 1).astype(msg.dtype) * g_edges
+    dw = sddmm_chunked_pallas(c, g.astype(msg.dtype), msg, interpret=interpret)
+    dw = jnp.where(c.weight != 0, dw, 0.0)
+    return zero_cotangent(c), zero_cotangent(ct), dmsg, dw
+
+
+_spmm_dyn.defvjp(_spmm_dyn_fwd, _spmm_dyn_bwd)
+
+
+def spmm_dyn(c: ChunkedCSR, ct: ChunkedCSR, msg, weights, interpret=False):
+    """out[i] = sum_{slots k with dst_k=i} weights_k * msg_k  (differentiable in
+    msg and weights — attention aggregation)."""
+    return _spmm_dyn(interpret, c, ct, msg, weights)
+
+
+# ------------------------------------------------------------------------ sddmm
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sddmm(interpret, c: ChunkedCSR, ct: ChunkedCSR, a, msg):
+    return sddmm_chunked_pallas(c, a, msg, interpret=interpret)
+
+
+def _sddmm_fwd(interpret, c, ct, a, msg):
+    return sddmm_chunked_pallas(c, a, msg, interpret=interpret), (c, ct, a, msg)
+
+
+def _sddmm_bwd(interpret, res, g):
+    c, ct, a, msg = res
+    g = jnp.where(c.weight != 0, g, 0.0)
+    # da[i] = sum_k g_k * msg_k  -> scatter with dynamic weights g
+    da = spmm_chunked_pallas(c, msg, weights=g, interpret=interpret).astype(a.dtype)
+    # dmsg_k = g_k * a[dst_k]
+    a_edges = expand_rows_chunked(c, a, interpret=interpret)
+    dmsg = g.reshape(-1, 1).astype(msg.dtype) * a_edges
+    return zero_cotangent(c), zero_cotangent(ct), da, dmsg
+
+
+_sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)
+
+
+def sddmm(c: ChunkedCSR, ct: ChunkedCSR, a, msg, interpret=False):
+    """e_k = <a[dst_k], msg_k> per edge slot (differentiable in a and msg)."""
+    return _sddmm(interpret, c, ct, a, msg)
+
+
+# ------------------------------------------------------------- full GAT layer
+def gat_attention_chunked(
+    c: ChunkedCSR,
+    ct: ChunkedCSR,
+    h: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    negative_slope: float = 0.2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-head sparse GAT aggregation over the chunked full graph.
+
+    ``h [c.n_rows, F]`` (projected features, row-padded), ``a_src``/``a_dst`` [F].
+    One HBM feature gather (source rows), scores/softmax/aggregation on kernels.
+    Fully differentiable (custom VJPs above + XLA softmax).
+    """
+    msg = jnp.take(h, c.src.reshape(-1), axis=0)          # the one gather
+    sc_src = msg @ a_src.astype(msg.dtype)                # [E] no gather
+    s_dst = h @ a_dst.astype(h.dtype)                     # [n_rows]
+    dst_global = (c.row_block[:, None] * R_BLOCK + c.dst_local).reshape(-1)
+    sc_dst = jnp.take(s_dst, dst_global)                  # scalar gather (small operand)
+    e = sc_src + sc_dst.reshape(-1)
+    e = jnp.where(e > 0, e, negative_slope * e).reshape(c.n_chunk, c.eb)
+    alpha = edge_softmax_chunked(c, e)
+    return spmm_dyn(c, ct, msg, alpha, interpret)

@@ -76,11 +76,14 @@ def spmm_chunked_pallas(
     ft: int = 128,
     out_dtype=None,
     interpret: bool = False,
+    weights: Optional[jax.Array] = None,
 ) -> jax.Array:
     """act(A @ msg + bias) from pre-gathered messages ``msg [n_chunk*EB, F]``.
 
     ``msg`` row ``c*EB + e`` must be ``x[c.src[c, e]]`` (unweighted — weights are folded
     into the in-kernel scatter matrix). F must be a multiple of ``ft``.
+    ``weights`` overrides the layout's static edge weights (runtime values, e.g.
+    attention coefficients) — same [n_chunk, EB] shape, zeros on padding.
     """
     f = msg.shape[-1]
     assert f % ft == 0, (f, ft)
@@ -89,6 +92,9 @@ def spmm_chunked_pallas(
     has_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((f,), msg.dtype)
+    if weights is None:
+        weights = c.weight
+    assert weights.shape == (c.n_chunk, c.eb), weights.shape
 
     grid = (f // ft, c.n_chunk)
     kernel = functools.partial(
@@ -118,36 +124,42 @@ def spmm_chunked_pallas(
             bytes_accessed=c.n_chunk * c.eb * (f * msg.dtype.itemsize + 8),
             transcendentals=0,
         ),
-    )(c.row_block, c.dst_local, c.weight, msg, bias.reshape(1, f))
+    )(c.row_block, c.dst_local, weights, msg, bias.reshape(1, f))
 
 
 def _gather_msg(c: ChunkedCSR, x: jax.Array) -> jax.Array:
     return jnp.take(x, c.src.reshape(-1), axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5))
-def spmm_chunked(c: ChunkedCSR, ct: ChunkedCSR, x, bias, activation=None,
-                 interpret: bool = False):
-    """act(A @ x + bias) with custom VJP; ``ct`` is the transpose layout (A^T).
+def zero_cotangent(tree):
+    """Zero cotangents for a pytree with integer leaves (float0 where required) —
+    used to mark the chunked layouts as constants inside custom VJPs (they must be
+    regular args so traced layouts can flow through jitted layers)."""
+    import numpy as np
 
-    Returns the full padded row space ``[c.n_rows, F]`` (slice to real rows at call
-    sites). Differentiable in ``x`` and ``bias``; backward runs the same kernel over
-    the transpose layout: dx = A^T (act'(out) * g) — the structural twin of the
-    reference backward kernel (``gcn_fused_kernel.cu:77-188``) minus the atomics.
-    """
+    def z(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return jax.tree.map(z, tree)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_chunked(activation, interpret, c: ChunkedCSR, ct: ChunkedCSR, x, bias):
     return spmm_chunked_pallas(c, _gather_msg(c, x), bias, activation,
                                interpret=interpret)
 
 
-def _fwd(c, ct, x, bias, activation, interpret):
+def _fwd(activation, interpret, c, ct, x, bias):
     out = spmm_chunked_pallas(c, _gather_msg(c, x), bias, activation,
                               interpret=interpret)
     mask = (out > 0) if activation == "relu" else None
-    return out, (mask, x.shape[0], bias is not None)
+    return out, (c, ct, mask, x.shape[0], bias is not None)
 
 
-def _bwd(c, ct, activation, interpret, residuals, g):
-    mask, n_in, had_bias = residuals
+def _bwd(activation, interpret, residuals, g):
+    c, ct, mask, n_in, had_bias = residuals
     if activation == "relu":
         g = jnp.where(mask, g, 0.0)
     # dx = A^T g: transpose layout's sources are A's destination rows (< c.n_rows),
@@ -156,7 +168,19 @@ def _bwd(c, ct, activation, interpret, residuals, g):
                                   interpret=interpret)
     dx = dx_full[:n_in]
     db = jnp.sum(g, axis=0) if had_bias else None
-    return dx, db
+    return zero_cotangent(c), zero_cotangent(ct), dx, db
 
 
-spmm_chunked.defvjp(_fwd, _bwd)
+_spmm_chunked.defvjp(_fwd, _bwd)
+
+
+def spmm_chunked(c: ChunkedCSR, ct: ChunkedCSR, x, bias=None, activation=None,
+                 interpret: bool = False):
+    """act(A @ x + bias) with custom VJP; ``ct`` is the transpose layout (A^T).
+
+    Returns the full padded row space ``[c.n_rows, F]`` (slice to real rows at call
+    sites). Differentiable in ``x`` and ``bias``; backward runs the same kernel over
+    the transpose layout: dx = A^T (act'(out) * g) — the structural twin of the
+    reference backward kernel (``gcn_fused_kernel.cu:77-188``) minus the atomics.
+    """
+    return _spmm_chunked(activation, interpret, c, ct, x, bias)
