@@ -15,6 +15,7 @@ from dgll_tpu.parallel.dp import (
     make_dp_block_step,
     stack_block_lists,
 )
+from dgll_tpu.parallel.halo import HaloPlan, build_halo_plan, make_halo_spmm
 from dgll_tpu.parallel.gp import (
     make_gp_gcn_train_step,
     make_sharded_spmm,
@@ -34,6 +35,9 @@ __all__ = [
     "load_community_book",
     "community_feature_slice",
     "make_async_dp_block_step",
+    "HaloPlan",
+    "build_halo_plan",
+    "make_halo_spmm",
     "make_mesh",
     "replicated",
     "sharded_dim0",

@@ -1,0 +1,117 @@
+"""Halo-exchange partitioned SpMM: boundary features move via all_to_all over ICI.
+
+The v2 of ``parallel/gp.py``'s all_gather strategy and the structural centerpiece of
+the multi-host design (SURVEY.md §2.7 / §5): each shard owns a contiguous
+destination-row range; the *halo plan* precomputes, per (requester p, owner q) pair,
+the unique boundary rows p needs from q, padded to one static size H. Each step then
+does ONE static ``all_to_all`` of shape [D, H, F] — message volume proportional to the
+partition cut (vs all_gather's full feature matrix), and XLA overlaps it with the
+local gather. This replaces the reference's shared-memory graph store + remote fetch
+(``FeatureCache/gcn.py:30``, ``storage.py:151-198``) with a compiled collective.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from dgll_tpu.parallel.partition import PartitionedGraph
+
+
+@struct.dataclass
+class HaloPlan:
+    send_ids: jax.Array    # [D, D, H] int32 — send_ids[q, p] = local rows q sends to p
+    send_mask: jax.Array   # [D, D, H] bool
+    src_remap: jax.Array   # [D, e_shard] int32 into [local rows | D*H halo rows]
+    halo_size: int = struct.field(pytree_node=False, default=0)
+
+
+def build_halo_plan(pg: PartitionedGraph, halo_multiple: int = 8) -> HaloPlan:
+    """Host-side halo planning from the partitioned edge lists."""
+    D, rows = pg.n_shard, pg.rows_per_shard
+    src = np.asarray(pg.src)          # [D, e_shard] global ids
+    w = np.asarray(pg.edge_weight)
+
+    # per (p, q): unique remote sources p needs from q
+    reqs = [[None] * D for _ in range(D)]
+    H = 1
+    for p in range(D):
+        sp = src[p]
+        owner = sp // rows
+        for q in range(D):
+            if q == p:
+                reqs[p][q] = np.zeros(0, np.int64)
+                continue
+            need = np.unique(sp[(owner == q) & (w[p] != 0)])
+            reqs[p][q] = need
+            H = max(H, len(need))
+    H = ((H + halo_multiple - 1) // halo_multiple) * halo_multiple
+
+    send_ids = np.zeros((D, D, H), np.int32)     # [owner q, requester p]
+    send_mask = np.zeros((D, D, H), bool)
+    pos = {}  # (p, global id) -> halo slot index within p's recv buffer
+    for p in range(D):
+        for q in range(D):
+            need = reqs[p][q]
+            send_ids[q, p, : len(need)] = need - q * rows  # local rows at owner
+            send_mask[q, p, : len(need)] = True
+            for j, s in enumerate(need):
+                pos[(p, int(s))] = q * H + j
+
+    src_remap = np.zeros((D, src.shape[1]), np.int32)
+    for p in range(D):
+        sp = src[p]
+        owner = sp // rows
+        local = owner == p
+        src_remap[p] = np.where(
+            local,
+            sp - p * rows,
+            rows + np.array([pos.get((p, int(s)), 0) for s in sp], np.int64),
+        )
+    return HaloPlan(
+        send_ids=jnp.asarray(send_ids),
+        send_mask=jnp.asarray(send_mask),
+        src_remap=jnp.asarray(src_remap),
+        halo_size=H,
+    )
+
+
+def make_halo_spmm(mesh: Mesh, pg: PartitionedGraph, plan: HaloPlan,
+                   axis: str = "data"):
+    """Sharded out[i] = sum w_e x[src_e] with halo all_to_all feature exchange."""
+    rows = pg.rows_per_shard
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis, None, None),
+                  P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    def spmm(x_local, send_ids, send_mask, src_remap, dst_local, w):
+        send_ids, send_mask = send_ids[0], send_mask[0]        # [D, H]
+        src_remap, dst_local, w = src_remap[0], dst_local[0], w[0]
+        # rows this shard owes each peer
+        out_rows = jnp.take(x_local, send_ids, axis=0)          # [D, H, F]
+        out_rows = out_rows * send_mask[..., None].astype(out_rows.dtype)
+        halo = jax.lax.all_to_all(out_rows, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)                  # [D, H, F]
+        ext = jnp.concatenate([x_local, halo.reshape(-1, x_local.shape[-1])], axis=0)
+        msg = jnp.take(ext, src_remap, axis=0) * w[:, None].astype(x_local.dtype)
+        return jax.ops.segment_sum(msg, dst_local, num_segments=rows)
+
+    def apply(x):
+        return spmm(x, plan.send_ids, plan.send_mask, plan.src_remap,
+                    pg.dst_local, pg.edge_weight)
+
+    return apply

@@ -8,6 +8,7 @@ from dgll_tpu.train.metrics import (
     micro_f1,
     roc_auc,
 )
+from dgll_tpu.train.pipeline import MQTrainer, PipelinedTrainer
 from dgll_tpu.train.trainer import (
     FullBatchTrainer,
     MiniBatchTrainer,
@@ -20,6 +21,8 @@ from dgll_tpu.train.trainer import (
 )
 
 __all__ = [
+    "PipelinedTrainer",
+    "MQTrainer",
     "CheckpointManager",
     "accuracy",
     "micro_f1",
