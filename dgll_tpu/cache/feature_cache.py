@@ -27,11 +27,16 @@ import numpy as np
 
 
 class HBMFeatureCache:
-    def __init__(self, host_features: np.ndarray, device: Optional[jax.Device] = None):
+    def __init__(self, host_features: np.ndarray, device: Optional[jax.Device] = None,
+                 quantize: bool = False):
+        """``quantize=True`` stores cached rows int8 (per-column scales), quadrupling
+        capacity per HBM byte — the architecture's Quantization block applied to the
+        cache (dequantisation fuses into the post-fetch compute)."""
         self.host = np.ascontiguousarray(host_features)
         self.n, self.d = self.host.shape
         self.device = device
-        self.cache: Optional[jax.Array] = None        # [K, d] device
+        self.quantize = quantize
+        self.cache: Optional[jax.Array] = None        # [K, d] device (or QuantizedFeatures)
         self.cache_pos = np.full(self.n, -1, np.int64)  # host mirror: node -> cache row
         self.k = 0
         self.lookups = 0
@@ -40,7 +45,7 @@ class HBMFeatureCache:
     # ------------------------------------------------------------------ fill
     def capacity_for_budget(self, budget_bytes: int) -> int:
         """Rows that fit in ``budget_bytes`` (ref capacity model, ``storage.py:72-82``)."""
-        row = self.d * self.host.dtype.itemsize
+        row = self.d * (1 if self.quantize else self.host.dtype.itemsize)
         return max(0, int(budget_bytes // row))
 
     def auto_cache(self, scores: np.ndarray, budget_bytes: int) -> int:
@@ -58,9 +63,14 @@ class HBMFeatureCache:
         self.cache_pos[:] = -1
         self.cache_pos[node_ids] = np.arange(self.k)
         rows = self.host[node_ids]
-        self.cache = (
-            jax.device_put(rows, self.device) if self.device else jnp.asarray(rows)
-        )
+        if self.quantize:
+            from dgll_tpu.ops.quantize import quantize_int8
+
+            self.cache = quantize_int8(rows)
+        else:
+            self.cache = (
+                jax.device_put(rows, self.device) if self.device else jnp.asarray(rows)
+            )
 
     @property
     def cached_whole_graph(self) -> bool:
@@ -85,7 +95,11 @@ class HBMFeatureCache:
         self.misses += n_miss
 
         safe_pos = np.where(hit, pos, 0)
-        out = jnp.take(self.cache, jnp.asarray(safe_pos, jnp.int32), axis=0)
+        pos_dev = jnp.asarray(safe_pos, jnp.int32)
+        if self.quantize:
+            out = self.cache.gather(pos_dev)
+        else:
+            out = jnp.take(self.cache, pos_dev, axis=0)
         if n_miss:
             miss_idx = np.nonzero(~hit)[0]
             miss_feats = jnp.asarray(self.host[node_ids[miss_idx]])

@@ -7,6 +7,12 @@ from dgll_tpu.data.datasets import (
     synthetic_graph_classification,
     synthetic_power_law_graph,
 )
+from dgll_tpu.data.registry import DATASETS, dataset_metric, load_dataset
+from dgll_tpu.data.utils import (
+    create_khop_index,
+    multihop_sampling,
+    separate_data,
+)
 from dgll_tpu.data.transforms import (
     gcn_normalize,
     row_normalize_adj,
@@ -14,6 +20,12 @@ from dgll_tpu.data.transforms import (
 )
 
 __all__ = [
+    "DATASETS",
+    "load_dataset",
+    "dataset_metric",
+    "multihop_sampling",
+    "create_khop_index",
+    "separate_data",
     "synthetic_classification_graph",
     "synthetic_power_law_graph",
     "synthetic_graph_classification",

@@ -2,6 +2,7 @@ from dgll_tpu.embedding.classifiers import train_all_classifiers, train_classifi
 from dgll_tpu.embedding.skipgram import (
     SkipGramModel,
     load_embedding,
+    plot_embedding,
     save_embedding,
     walk_pairs,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "SkipGramModel",
     "walk_pairs",
     "save_embedding",
+    "plot_embedding",
     "load_embedding",
     "train_classifier",
     "train_all_classifiers",

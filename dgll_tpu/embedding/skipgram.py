@@ -115,3 +115,29 @@ def save_embedding(path: str, emb: np.ndarray) -> None:
 
 def load_embedding(path: str) -> np.ndarray:
     return np.load(path)
+
+
+def plot_embedding(emb: np.ndarray, labels=None, path: str = "embedding.png") -> str:
+    """2-D scatter of embeddings (PCA to 2 dims) — parity with the reference's
+    ``ge.utils`` plot helper. Saves to ``path``; returns the path. Matplotlib is
+    optional — raises a clear error if absent."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("plot_embedding needs matplotlib") from e
+
+    x = np.asarray(emb, np.float64)
+    x = x - x.mean(0)
+    # PCA via SVD
+    u, s, _ = np.linalg.svd(x, full_matrices=False)
+    pts = u[:, :2] * s[:2]
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.scatter(pts[:, 0], pts[:, 1], c=None if labels is None else np.asarray(labels),
+               s=8, cmap="tab10")
+    ax.set_title("node embeddings (PCA)")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path

@@ -1,0 +1,90 @@
+"""Dataset registry (mocked loaders — parity with unittest_dataset.py), data utils,
+quantized cache."""
+from unittest import mock
+
+import numpy as np
+import pytest
+
+from dgll_tpu.cache import HBMFeatureCache
+from dgll_tpu.data import (
+    DATASETS,
+    create_khop_index,
+    dataset_metric,
+    load_dataset,
+    multihop_sampling,
+    separate_data,
+    synthetic_classification_graph,
+)
+from dgll_tpu.sampling import HostGraph
+
+
+def _fake_loader():
+    """Mocked dataset constructor (the reference mocks DGL/OGB constructors the same
+    way — unittest_dataset.py:9-91)."""
+    rng = np.random.default_rng(0)
+    n, e = 50, 300
+    return (
+        rng.integers(0, n, e),
+        rng.integers(0, n, e),
+        rng.normal(size=(n, 8)).astype(np.float32),
+        rng.integers(0, 3, n),
+        {"train": np.arange(30), "valid": np.arange(30, 40), "test": np.arange(40, 50)},
+    )
+
+
+def test_registry_with_mocked_loader():
+    loader = mock.MagicMock(side_effect=_fake_loader)
+    g = load_dataset("ogbn-products", loader=loader)
+    loader.assert_called_once()
+    assert g.n_real_node == 50
+    assert g.get_train_nodes().shape == (30,)
+    assert dataset_metric("ogbn-products") == "acc"
+    assert dataset_metric("reddit") == "f1"
+    assert dataset_metric("ogbn-proteins") == "roc-auc"
+
+
+def test_registry_errors():
+    with pytest.raises(KeyError):
+        load_dataset("not-a-dataset")
+    with pytest.raises(RuntimeError):
+        load_dataset("reddit")  # no loader + no network
+
+
+def test_multihop_sampling_shapes():
+    g = synthetic_classification_graph(n_node=100, avg_degree=5, seed=0)
+    hg = HostGraph.from_graph(g)
+    hops = multihop_sampling(hg, np.arange(8), [3, 2], seed=0)
+    assert [len(h) for h in hops] == [8, 24, 48]
+    # sampled ids are valid nodes
+    for h in hops:
+        assert h.min() >= 0 and h.max() < hg.n_node
+
+
+def test_create_khop_index():
+    g = synthetic_classification_graph(n_node=60, avg_degree=5, seed=0)
+    hg = HostGraph.from_graph(g)
+    idx = create_khop_index(hg, k=2, max_neighbors=4, seed=0)
+    assert idx.shape == (60, 4)
+
+
+def test_separate_data_stratified():
+    labels = np.array([0] * 40 + [1] * 20 + [2] * 40)
+    train, test = separate_data(labels, n_folds=10, fold_idx=3, seed=0)
+    assert len(train) + len(test) == 100
+    assert set(train) & set(test) == set()
+    # stratification: each class appears in the test fold proportionally
+    counts = {c: int((labels[test] == c).sum()) for c in (0, 1, 2)}
+    assert counts[0] == 4 and counts[1] == 2 and counts[2] == 4
+
+
+def test_quantized_cache_roundtrip():
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(64, 16)).astype(np.float32)
+    c = HBMFeatureCache(feats, quantize=True)
+    # 4x capacity vs f32
+    assert c.capacity_for_budget(16 * 16) == 16
+    c.fill(np.arange(32))
+    out = np.asarray(c.fetch(np.array([3, 40, 10])))
+    # cached rows come back dequantised (~1% error); misses exact
+    assert np.abs(out[0] - feats[3]).mean() < 0.05
+    np.testing.assert_allclose(out[1], feats[40], rtol=1e-6)
