@@ -91,6 +91,30 @@ class GATConv(nn.Module):
 
         a_src = self.param("attn_src", nn.initializers.glorot_uniform(), (H, F), jnp.float32)
         a_dst = self.param("attn_dst", nn.initializers.glorot_uniform(), (H, F), jnp.float32)
+
+        # compiled sparse path: full graph carrying a chunked layout, MXU-tileable
+        # head width, no attention dropout (kernel computes softmax internally)
+        c = getattr(g, "chunked", None)
+        if (
+            c is not None
+            and F % 128 == 0
+            and c.n_rows >= n_dst
+            and (self.attn_dropout == 0.0 or deterministic)
+        ):
+            from dgll_tpu.ops.pallas.gat import gat_attention_chunked_multihead
+
+            interpret = jax.default_backend() == "cpu"
+            hp = h.reshape(x.shape[0], H * F)
+            if hp.shape[0] < c.n_rows:
+                hp = jnp.pad(hp, ((0, c.n_rows - hp.shape[0]), (0, 0)))
+            out = gat_attention_chunked_multihead(
+                c, g.chunked_t, hp, a_src.astype(hp.dtype), a_dst.astype(hp.dtype),
+                self.negative_slope, interpret,
+            )[:n_dst]
+            if self.concat_heads:
+                return out.reshape(n_dst, H * F)
+            return out.mean(axis=1)
+
         # per-node score halves, then gather to edges (cheaper than per-edge dots)
         s_src = jnp.einsum("nhf,hf->nh", h, a_src.astype(h.dtype))
         s_dst = jnp.einsum("nhf,hf->nh", h, a_dst.astype(h.dtype))

@@ -105,3 +105,35 @@ def gat_attention_chunked(
     e = jnp.where(e > 0, e, negative_slope * e).reshape(c.n_chunk, c.eb)
     alpha = edge_softmax_chunked(c, e)
     return spmm_dyn(c, ct, msg, alpha, interpret)
+
+
+def gat_attention_chunked_multihead(
+    c: ChunkedCSR,
+    ct: ChunkedCSR,
+    h: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    negative_slope: float = 0.2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-head sparse GAT: ``h [n_rows, H*F]``, ``a_src``/``a_dst`` [H, F].
+
+    Source rows are gathered ONCE at full width H*F; scores/softmax/aggregation run
+    per head on feature slices (static python loop — one compile). Returns
+    ``[n_rows, H, F]`` (concat or mean at the call site).
+    """
+    n_heads, f = a_src.shape
+    msg = jnp.take(h, c.src.reshape(-1), axis=0)          # [E, H*F] one gather
+    dst_global = (c.row_block[:, None] * R_BLOCK + c.dst_local).reshape(-1)
+    outs = []
+    for hd in range(n_heads):
+        sl = slice(hd * f, (hd + 1) * f)
+        msg_h = msg[:, sl]
+        sc_src = msg_h @ a_src[hd].astype(msg.dtype)
+        s_dst = h[:, sl] @ a_dst[hd].astype(h.dtype)
+        sc_dst = jnp.take(s_dst, dst_global)
+        e = sc_src + sc_dst
+        e = jnp.where(e > 0, e, negative_slope * e).reshape(c.n_chunk, c.eb)
+        alpha = edge_softmax_chunked(c, e)
+        outs.append(spmm_dyn(c, ct, msg_h, alpha, interpret))
+    return jnp.stack(outs, axis=1)                         # [n_rows, H, F]

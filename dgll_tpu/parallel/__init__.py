@@ -15,7 +15,14 @@ from dgll_tpu.parallel.dp import (
     make_dp_block_step,
     stack_block_lists,
 )
-from dgll_tpu.parallel.halo import HaloPlan, build_halo_plan, make_halo_spmm
+from dgll_tpu.parallel.halo import (
+    HaloPlan,
+    allgather_volume_bytes,
+    build_halo_plan,
+    halo_volume_bytes,
+    make_halo_spmm,
+    make_partitioned_spmm,
+)
 from dgll_tpu.parallel.gp import (
     make_gp_gcn_train_step,
     make_sharded_spmm,
@@ -38,6 +45,9 @@ __all__ = [
     "HaloPlan",
     "build_halo_plan",
     "make_halo_spmm",
+    "make_partitioned_spmm",
+    "halo_volume_bytes",
+    "allgather_volume_bytes",
     "make_mesh",
     "replicated",
     "sharded_dim0",

@@ -115,3 +115,31 @@ def make_halo_spmm(mesh: Mesh, pg: PartitionedGraph, plan: HaloPlan,
                     pg.dst_local, pg.edge_weight)
 
     return apply
+
+
+def halo_volume_bytes(pg: PartitionedGraph, plan: HaloPlan, feat_dim: int,
+                      itemsize: int = 4) -> int:
+    """all_to_all bytes per step (whole mesh)."""
+    return pg.n_shard * pg.n_shard * plan.halo_size * feat_dim * itemsize
+
+
+def allgather_volume_bytes(pg: PartitionedGraph, feat_dim: int, itemsize: int = 4) -> int:
+    """all_gather bytes per step (whole mesh)."""
+    return pg.n_shard * (pg.n_shard - 1) * pg.rows_per_shard * feat_dim * itemsize
+
+
+def make_partitioned_spmm(mesh: Mesh, pg: PartitionedGraph, feat_dim: int,
+                          strategy: str = "auto", axis: str = "data"):
+    """Pick the cheaper exchange automatically: halo all_to_all when the partition
+    cut is small (clustered graphs), all_gather when boundary padding would exceed
+    the full matrix (hub-heavy graphs with poor cuts)."""
+    from dgll_tpu.parallel.gp import make_sharded_spmm
+
+    if strategy == "allgather":
+        return make_sharded_spmm(mesh, pg, axis)
+    plan = build_halo_plan(pg)
+    if strategy == "halo":
+        return make_halo_spmm(mesh, pg, plan, axis)
+    if halo_volume_bytes(pg, plan, feat_dim) < allgather_volume_bytes(pg, feat_dim):
+        return make_halo_spmm(mesh, pg, plan, axis)
+    return make_sharded_spmm(mesh, pg, axis)

@@ -118,3 +118,17 @@ def test_gin_graph_classification():
     logp = model.apply({"params": params}, g, g.node_feat, graph_id, n_graph)
     acc = accuracy(logp, labels)
     assert acc > 0.8, acc
+
+
+def test_bf16_training(g):
+    """Models train with bfloat16 compute (params fp32, activations bf16) — the
+    MXU-native dtype policy."""
+    model = GCN(hidden=32, n_class=5, dropout=0.0, dtype=jnp.bfloat16)
+    tr = FullBatchTrainer(model, optax.adam(1e-2))
+    state, hist = tr.fit(g, g.node_feat, g.labels, g.train_mask, epochs=40)
+    logp = tr.evaluate(state, g, g.node_feat)
+    acc = accuracy(logp, g.labels, g.test_mask)
+    assert acc > 0.7, acc
+    # params stay fp32 (master weights)
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32

@@ -166,3 +166,20 @@ def test_gat_layer_grads_flow(setup):
     g = jax.grad(loss)(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_multihead_chunked_matches_segment_layer():
+    """GATConv kernel dispatch == GATConv segment path on the same params."""
+    import jax.numpy as jnp
+    from dgll_tpu.data import synthetic_classification_graph
+    from dgll_tpu.nn import GATConv
+
+    g = synthetic_classification_graph(n_node=150, avg_degree=5, seed=0)
+    gc = g.with_chunked(eb=128)
+    x = jnp.asarray(np.asarray(g.node_feat))
+    layer = GATConv(128, num_heads=2, concat_heads=True)  # 128-wide heads -> kernel
+    params = layer.init(jax.random.key(0), g, x)          # plain graph: segment path
+    out_seg = layer.apply(params, g, x)
+    out_ker = layer.apply(params, gc, x)
+    np.testing.assert_allclose(np.asarray(out_ker), np.asarray(out_seg),
+                               rtol=2e-3, atol=2e-4)
