@@ -174,17 +174,6 @@ void dgll_node2vec_walks(const int64_t* indptr, const int64_t* nbrs_sorted,
     });
 }
 
-// Multi-layer fanout sampling fused across layers: frontier expansion for
-// NeighborSampler. layers: fanouts[n_layer] (inner-to-outer order), nodes grow
-// b -> b*(1+k1) -> ... Caller allocates outs per layer.
-void dgll_sample_block(const int64_t* indptr, const int64_t* nbrs,
-                       const int64_t* frontier, const uint8_t* fmask, int64_t b,
-                       int64_t fanout, uint64_t seed, int64_t* sampled,
-                       uint8_t* smask) {
-    dgll_sample_neighbors(indptr, nbrs, frontier, fmask, b, fanout, seed, sampled,
-                          smask);
-}
-
 int dgll_abi_version() { return 1; }
 
 }  // extern "C"

@@ -1,8 +1,12 @@
 from dgll_tpu.data.datasets import (
+    S2VGraph,
+    load_dataP,
     load_graph,
     load_planetoid,
     load_ppi_split,
+    s2v_to_tuples,
     save_graph,
+    separate_graphs,
     synthetic_classification_graph,
     synthetic_graph_classification,
     synthetic_power_law_graph,
@@ -26,6 +30,10 @@ __all__ = [
     "multihop_sampling",
     "create_khop_index",
     "separate_data",
+    "S2VGraph",
+    "load_dataP",
+    "s2v_to_tuples",
+    "separate_graphs",
     "synthetic_classification_graph",
     "synthetic_power_law_graph",
     "synthetic_graph_classification",

@@ -125,8 +125,9 @@ def synthetic_graph_classification(
 ):
     """List of (src, dst, feats, label) small graphs where label ~ edge density.
 
-    Stand-in for the reference's graph-classification datasets (``load_dataP``).
-    Returns host-side numpy tuples; batch with ``dgll_tpu.nn.pooling.batch_graphs``.
+    Synthetic stand-in for real graph-classification data (real files load via
+    ``load_dataP`` below). Returns host-side numpy tuples; batch with
+    ``dgll_tpu.nn.pooling.batch_graphs``.
     """
     rng = np.random.default_rng(seed)
     out = []
@@ -141,6 +142,120 @@ def synthetic_graph_classification(
         feats[:, 0] = 0.1 * (m.sum(0) - 1)  # degree feature
         out.append((src.astype(np.int64), dst.astype(np.int64), feats, label))
     return out
+
+
+# ---------------------------------------------------- graph classification txt
+@dataclass
+class S2VGraph:
+    """One graph of the GIN text format — parity with the reference's ``S2VGraph``
+    (``dgll/nn/utils/utils.py:267-284``): bidirected edge list, per-node tags
+    (optionally replaced by degrees), optional float node attributes, integer label."""
+
+    src: np.ndarray                  # [e] int64 (bidirected, like the ref edge_mat)
+    dst: np.ndarray                  # [e] int64
+    node_tags: List[int]
+    label: int
+    n_node: int
+    node_features: Optional[np.ndarray] = None   # [n, d] float32 attrs (or None)
+    neighbors: Optional[List[List[int]]] = None
+    max_neighbor: int = 0
+
+
+def load_dataP(path: str, degree_as_tag: bool = False) -> Tuple[List[S2VGraph], int]:
+    """Parse the graph-classification text format (ref ``load_dataP``,
+    ``dgll/nn/utils/utils.py:286-385``).
+
+    Format: first line = #graphs; per graph a header ``n label`` then ``n`` node rows
+    ``tag deg nbr_0 ... nbr_{deg-1} [attr...]`` (float attrs optional). Labels and tags
+    are densely re-mapped in first-seen order, exactly like the reference's
+    ``label_dict`` / ``feat_dict``. Returns ``(graphs, n_classes)``.
+    """
+    g_list: List[S2VGraph] = []
+    label_dict: dict = {}
+    feat_dict: dict = {}
+
+    with open(path) as f:
+        n_g = int(f.readline().strip())
+        for _ in range(n_g):
+            n, l = (int(w) for w in f.readline().strip().split())
+            if l not in label_dict:
+                label_dict[l] = len(label_dict)
+            tags: List[int] = []
+            attrs: List[np.ndarray] = []
+            src, dst = [], []
+            for j in range(n):
+                row = f.readline().strip().split()
+                deg = int(row[1])
+                head = [int(w) for w in row[: deg + 2]]
+                if len(row) > deg + 2:
+                    attrs.append(np.array([float(w) for w in row[deg + 2 :]]))
+                tag = head[0]
+                if tag not in feat_dict:
+                    feat_dict[tag] = len(feat_dict)
+                tags.append(feat_dict[tag])
+                for k in head[2:]:
+                    src.append(j)
+                    dst.append(k)
+            # dedupe undirected pairs (the ref builds an nx.Graph, which dedupes),
+            # then bidirect (ref extends edges with the reversed pairs)
+            und = sorted({(min(a, b), max(a, b)) for a, b in zip(src, dst)})
+            u = [a for a, _ in und]
+            v = [b for _, b in und]
+            s = np.array(u + v, np.int64)
+            d = np.array(v + u, np.int64)
+            neighbors: List[List[int]] = [[] for _ in range(n)]
+            for a, b in und:
+                neighbors[a].append(b)
+                neighbors[b].append(a)
+            g_list.append(
+                S2VGraph(
+                    src=s,
+                    dst=d,
+                    node_tags=tags,
+                    label=label_dict[l],
+                    n_node=n,
+                    node_features=np.stack(attrs).astype(np.float32) if attrs else None,
+                    neighbors=neighbors,
+                    max_neighbor=max((len(x) for x in neighbors), default=0),
+                )
+            )
+
+    if degree_as_tag:
+        degset: dict = {}
+        for g in g_list:
+            degs = [len(x) for x in g.neighbors]
+            for dg in degs:
+                if dg not in degset:
+                    degset[dg] = len(degset)
+            g.node_tags = [degset[dg] for dg in degs]
+        n_tag = len(degset)
+    else:
+        n_tag = len(feat_dict)
+
+    # one-hot tag features where no attrs exist (the ref GIN driver's convention)
+    for g in g_list:
+        if g.node_features is None:
+            oh = np.zeros((g.n_node, n_tag), np.float32)
+            oh[np.arange(g.n_node), np.asarray(g.node_tags)] = 1.0
+            g.node_features = oh
+    return g_list, len(label_dict)
+
+
+def s2v_to_tuples(g_list: List[S2VGraph]):
+    """(src, dst, feats, label) quadruples for ``dgll_tpu.nn.pooling.batch_graphs``."""
+    return [(g.src, g.dst, g.node_features, g.label) for g in g_list]
+
+
+def separate_graphs(graph_list: List[S2VGraph], seed: int, fold_idx: int,
+                    n_splits: int = 10) -> Tuple[List[S2VGraph], List[S2VGraph]]:
+    """Stratified k-fold split over graphs (ref ``separate_data``, ``utils.py:387-399``);
+    fold machinery shared with ``dgll_tpu.data.utils.separate_data``."""
+    from dgll_tpu.data.utils import separate_data
+
+    train_idx, test_idx = separate_data(
+        [g.label for g in graph_list], n_folds=n_splits, fold_idx=fold_idx, seed=seed
+    )
+    return [graph_list[i] for i in train_idx], [graph_list[i] for i in test_idx]
 
 
 # ------------------------------------------------------------------ planetoid

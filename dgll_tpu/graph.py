@@ -149,7 +149,17 @@ class Graph:
             return jax.device_put(x, device) if device is not None else jnp.asarray(x)
 
         moved = jax.tree.map(put, self)
-        return jax.block_until_ready(moved)
+        moved = jax.block_until_ready(moved)
+        if moved.chunked is not None:
+            # refresh the layouts' interpret flag for the new placement
+            from dgll_tpu.ops.chunked import _target_platform
+
+            interp = _target_platform(device) != "tpu"
+            moved = moved.replace(
+                chunked=moved.chunked.replace(interpret=interp),
+                chunked_t=moved.chunked_t.replace(interpret=interp),
+            )
+        return moved
 
     # ------------------------------------------------------- DGraph-parity API
     # (reference dgll/data/dgraph.py:49-132; host-side conveniences, not jitted)
@@ -231,11 +241,17 @@ def _round_up(x: int, m: int) -> int:
 def pad_graph(g: Graph, node_multiple: int = 8, edge_multiple: int = 128) -> Graph:
     """Pad node/edge counts up to multiples for jit-stable shapes.
 
-    Padded edges are (pn-1 -> pn-1) self-loops with zero weight on the last padded
-    node, so they contribute nothing to real aggregations; padded feature rows are zero.
+    Padded edges are self-loops on a **padded** node (never a real one), so they
+    contribute nothing to any real aggregation — weighted or not. If edges need
+    padding but the node count is already aligned, one extra block of padding nodes
+    is added to guarantee a padded target exists; padded feature rows are zero.
     """
     pn = _round_up(max(g.n_node, 1), node_multiple)
     pe = _round_up(max(g.n_edge, 1), edge_multiple)
+    if pe > g.n_edge and pn == g.n_node:
+        # a padded pad-edge target must exist: never route pad edges to a real node
+        # (unweighted sum/mean/max aggregation would pick up phantom self-messages)
+        pn += node_multiple
     if pn == g.n_node and pe == g.n_edge:
         return g
 
@@ -245,7 +261,7 @@ def pad_graph(g: Graph, node_multiple: int = 8, edge_multiple: int = 128) -> Gra
     dst = np.asarray(g.dst)
     if dn:
         indptr = np.concatenate([indptr, np.full((dn,), g.n_edge, np.int32)])
-    # route padding edges to the last padded node
+    # route padding edges to the last padded node (guaranteed > n_real_node - 1)
     pad_target = pn - 1
     if de:
         src = np.concatenate([src, np.full((de,), pad_target, np.int32)])

@@ -1,5 +1,5 @@
 from dgll_tpu.nn.conv import GATConv, GCNConv, GINConv, SAGEConv
-from dgll_tpu.nn.models import GAT, GCN, GIN, GraphSAGE
+from dgll_tpu.nn.models import GAT, GCN, GIN, GINNode, GraphSAGE
 from dgll_tpu.nn.pooling import (
     Pooling,
     batch_graphs,
@@ -17,6 +17,7 @@ __all__ = [
     "GAT",
     "GraphSAGE",
     "GIN",
+    "GINNode",
     "Pooling",
     "sum_pooling",
     "mean_pooling",

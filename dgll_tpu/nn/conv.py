@@ -23,7 +23,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dgll_tpu.ops.segment import segment_softmax
-from dgll_tpu.ops.spmm import spmm_coo, spmm_max_coo, spmm_mean_coo
+from dgll_tpu.ops.spmm import block_aggregate, spmm_coo, spmm_max_coo, spmm_mean_coo
+
+
+def _is_dense_block(g) -> bool:
+    """Fanout-dense sampled Block: aggregation becomes a reshape-reduce (no scatter)."""
+    return getattr(g, "neigh_mask", None) is not None and getattr(g, "fanout", 0) > 0
 
 
 def _n_dst(g) -> int:
@@ -34,6 +39,18 @@ def _edge_weight(g):
     return getattr(g, "edge_weight", None)
 
 
+def _require_self_at_head(g, layer: str) -> None:
+    """Layers that read ``x[:n_dst]`` as the destinations' own features must reject
+    blocks violating the protocol (pure importance-sampled ``SparseBlock``s built with
+    ``include_seeds=False`` do not carry self features)."""
+    if not getattr(g, "self_at_head", True):
+        raise ValueError(
+            f"{layer} needs self features (source slot i < n_dst must be destination "
+            "i itself); this block was sampled with include_seeds=False. Use GCNConv, "
+            "or sample with include_seeds=True."
+        )
+
+
 def _weighted_aggregate(g, h: jax.Array, n_dst: int) -> jax.Array:
     """Weighted-sum aggregation, routed to the Pallas chunked kernel when the graph
     carries a chunked layout (``Graph.with_chunked``) and the width is MXU-tileable;
@@ -42,8 +59,11 @@ def _weighted_aggregate(g, h: jax.Array, n_dst: int) -> jax.Array:
     if c is not None and h.shape[-1] % 128 == 0 and c.n_rows >= n_dst:
         from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked
 
-        interpret = jax.default_backend() == "cpu"
-        return spmm_chunked(c, g.chunked_t, h, None, None, interpret)[:n_dst]
+        # interpret-vs-compiled comes from the layout's own placement (static field
+        # set at build/to_device time), never from the process-global backend
+        return spmm_chunked(c, g.chunked_t, h, None, None, c.interpret)[:n_dst]
+    if _is_dense_block(g):
+        return block_aggregate(h, n_dst, g.fanout, g.neigh_mask, "sum")
     return spmm_coo(g.src, g.dst, h, n_dst, _edge_weight(g))
 
 
@@ -86,6 +106,7 @@ class GATConv(nn.Module):
     def __call__(self, g, x: jax.Array, deterministic: bool = True) -> jax.Array:
         H, F = self.num_heads, self.features
         n_dst = _n_dst(g)
+        _require_self_at_head(g, "GATConv")
         h = nn.Dense(H * F, use_bias=False, dtype=self.dtype, name="weight")(x)
         h = h.reshape(x.shape[0], H, F)
 
@@ -103,7 +124,7 @@ class GATConv(nn.Module):
         ):
             from dgll_tpu.ops.pallas.gat import gat_attention_chunked_multihead
 
-            interpret = jax.default_backend() == "cpu"
+            interpret = c.interpret
             hp = h.reshape(x.shape[0], H * F)
             if hp.shape[0] < c.n_rows:
                 hp = jnp.pad(hp, ((0, c.n_rows - hp.shape[0]), (0, 0)))
@@ -118,15 +139,32 @@ class GATConv(nn.Module):
         # per-node score halves, then gather to edges (cheaper than per-edge dots)
         s_src = jnp.einsum("nhf,hf->nh", h, a_src.astype(h.dtype))
         s_dst = jnp.einsum("nhf,hf->nh", h, a_dst.astype(h.dtype))
-        e = jnp.take(s_dst[:n_dst], g.dst, axis=0) + jnp.take(s_src, g.src, axis=0)
-        e = nn.leaky_relu(e, self.negative_slope)
 
-        alpha = segment_softmax(e, g.dst, n_dst)  # [E, H]
-        if self.attn_dropout > 0.0 and not deterministic:
-            alpha = nn.Dropout(rate=self.attn_dropout, deterministic=False)(alpha)
+        if _is_dense_block(g):
+            # fanout-dense attention: softmax over the fanout axis, no segment ops
+            fo = g.fanout
+            neigh_h = jax.lax.dynamic_slice_in_dim(h, n_dst, n_dst * fo, axis=0)
+            neigh_h = neigh_h.reshape(n_dst, fo, H, F)
+            s_n = jax.lax.dynamic_slice_in_dim(s_src, n_dst, n_dst * fo, axis=0)
+            s_n = s_n.reshape(n_dst, fo, H)
+            e = nn.leaky_relu(s_dst[:n_dst, None, :] + s_n, self.negative_slope)
+            m = g.neigh_mask[..., None]
+            e = jnp.where(m, e, -1e9)
+            ex = jnp.exp(e - jax.lax.stop_gradient(e.max(axis=1, keepdims=True))) * m
+            alpha = ex / jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-9)
+            if self.attn_dropout > 0.0 and not deterministic:
+                alpha = nn.Dropout(rate=self.attn_dropout, deterministic=False)(alpha)
+            out = jnp.einsum("nfh,nfhd->nhd", alpha.astype(neigh_h.dtype), neigh_h)
+        else:
+            e = jnp.take(s_dst[:n_dst], g.dst, axis=0) + jnp.take(s_src, g.src, axis=0)
+            e = nn.leaky_relu(e, self.negative_slope)
 
-        msg = jnp.take(h, g.src, axis=0) * alpha[..., None]  # [E, H, F]
-        out = jax.ops.segment_sum(msg, g.dst, num_segments=n_dst)
+            alpha = segment_softmax(e, g.dst, n_dst)  # [E, H]
+            if self.attn_dropout > 0.0 and not deterministic:
+                alpha = nn.Dropout(rate=self.attn_dropout, deterministic=False)(alpha)
+
+            msg = jnp.take(h, g.src, axis=0) * alpha[..., None]  # [E, H, F]
+            out = jax.ops.segment_sum(msg, g.dst, num_segments=n_dst)
         if self.concat_heads:
             return out.reshape(n_dst, H * F)
         return out.mean(axis=1)
@@ -148,14 +186,17 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, g, x: jax.Array) -> jax.Array:
         n_dst = _n_dst(g)
-        if self.aggregator == "mean":
+        _require_self_at_head(g, "SAGEConv")
+        if self.aggregator not in ("mean", "sum", "max"):
+            raise ValueError(f"unknown aggregator {self.aggregator!r}")
+        if _is_dense_block(g):
+            agg = block_aggregate(x, n_dst, g.fanout, g.neigh_mask, self.aggregator)
+        elif self.aggregator == "mean":
             agg = spmm_mean_coo(g.src, g.dst, x, n_dst)
         elif self.aggregator == "sum":
             agg = spmm_coo(g.src, g.dst, x, n_dst, _edge_weight(g))
-        elif self.aggregator == "max":
-            agg = spmm_max_coo(g.src, g.dst, x, n_dst)
         else:
-            raise ValueError(f"unknown aggregator {self.aggregator!r}")
+            agg = spmm_max_coo(g.src, g.dst, x, n_dst)
 
         h_neigh = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="neigh")(agg)
         h_self = nn.Dense(
@@ -177,6 +218,7 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, g, x: jax.Array) -> jax.Array:
         n_dst = _n_dst(g)
+        _require_self_at_head(g, "GINConv")
         agg = _weighted_aggregate(g, x, n_dst)
         eps = (
             self.param("eps", nn.initializers.zeros, (), jnp.float32)

@@ -109,6 +109,32 @@ class GraphSAGE(nn.Module):
         return nn.log_softmax(x)
 
 
+class GINNode(nn.Module):
+    """Node classification with stacked GINConv — the ``--Model GIN`` CLI path.
+
+    (The reference uses GIN for graph classification only — that readout is the
+    ``GIN`` model below; this is the natural node-level variant.)"""
+
+    hidden: int
+    n_class: int
+    n_layers: int = 2
+    learn_eps: bool = False
+    dropout: float = 0.5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, g, x, deterministic: bool = True) -> jax.Array:
+        gs = _layer_inputs(g, self.n_layers)
+        for i in range(self.n_layers - 1):
+            x = GINConv(self.hidden, learn_eps=self.learn_eps, dtype=self.dtype)(gs[i], x)
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = GINConv(
+            self.n_class, learn_eps=self.learn_eps, activation=lambda h: h,
+            dtype=self.dtype,
+        )(gs[-1], x)
+        return nn.log_softmax(x)
+
+
 class GIN(nn.Module):
     """Graph classification: stacked GINConv; readout concatenates every layer's pooled
     representation (including raw input), matching ``GIN.forward`` (``ginconv.py:53-65``)."""

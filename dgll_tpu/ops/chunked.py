@@ -43,10 +43,25 @@ class ChunkedCSR:
     eb: int = struct.field(pytree_node=False, default=512)
     n_rows: int = struct.field(pytree_node=False, default=0)  # padded to R_BLOCK
     n_cols: int = struct.field(pytree_node=False, default=0)
+    # Whether the Pallas kernel must run in interpret mode for this layout's placement
+    # (True off-TPU). Static metadata, so it is visible at trace time even when the
+    # layout is a jit argument — dispatch never keys on the process-global backend.
+    interpret: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_row_blocks(self) -> int:
         return self.n_rows // R_BLOCK
+
+
+def _target_platform(device=None) -> str:
+    """Platform the layout's arrays will compute on: explicit device > configured
+    default device > default backend."""
+    if device is not None:
+        return device.platform
+    d = jax.config.jax_default_device
+    if d is not None and hasattr(d, "platform"):
+        return d.platform
+    return jax.default_backend()
 
 
 def build_chunked(
@@ -108,6 +123,7 @@ def build_chunked(
         eb=eb,
         n_rows=n_rows_pad,
         n_cols=n_cols,
+        interpret=_target_platform() != "tpu",
     )
 
 
@@ -125,8 +141,11 @@ def build_chunked_pair(
     return a, at
 
 
-def chunked_to_device(c: ChunkedCSR) -> ChunkedCSR:
-    return jax.tree.map(jnp.asarray, c)
+def chunked_to_device(c: ChunkedCSR, device=None) -> ChunkedCSR:
+    moved = jax.tree.map(
+        (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray, c
+    )
+    return moved.replace(interpret=_target_platform(device) != "tpu")
 
 
 def spmm_chunked_xla(c: ChunkedCSR, x: jax.Array) -> jax.Array:

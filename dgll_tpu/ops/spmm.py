@@ -9,9 +9,10 @@ Two execution paths:
 * ``spmm_coo`` — pure-XLA gather + ``segment_sum`` over a COO edge list. Works on any
   backend (our CPU test path), fuses with neighbouring elementwise ops, and is the
   reference semantics all kernels are tested against.
-* ``dgll_tpu.ops.bsr`` — a Pallas block-sparse (BSR) kernel that runs the aggregation on
-  the MXU with scalar-prefetched block indices; used for full-graph training where the
-  adjacency is reused across steps. See ``ops/bsr.py``.
+* chunked Pallas path — ``ops/chunked.py`` packs the adjacency into fixed [n_chunk, EB]
+  edge chunks and ``ops/pallas/segment_matmul.py`` aggregates them as one-hot MXU
+  matmuls with scalar-prefetched row-block ids; used for full-graph training where the
+  adjacency is reused across steps (``Graph.with_chunked``).
 
 ``fused_gcn_layer`` mirrors the reference's fused forward exactly (one call = normalise ->
 aggregate -> transform -> bias -> ReLU) with a custom VJP matching
@@ -56,6 +57,34 @@ def spmm_max_coo(src, dst, x, n_dst) -> jax.Array:
     out = jax.ops.segment_max(msg, dst, num_segments=n_dst)
     deg = jax.ops.segment_sum(jnp.ones_like(dst, jnp.float32), dst, num_segments=n_dst)
     return jnp.where((deg == 0)[:, None], 0.0, out)
+
+
+def block_aggregate(x: jax.Array, n_dst: int, fanout: int, neigh_mask: jax.Array,
+                    kind: str = "mean") -> jax.Array:
+    """Fanout-dense aggregation for sampled ``Block``s — no gather, no scatter.
+
+    A ``Block``'s source rows are laid out ``[dst | sampled.flatten()]``, so the
+    sampled-neighbour slab ``x[n_dst : n_dst*(1+fanout)]`` reshapes to
+    ``[n_dst, fanout, F]`` and aggregation is a masked reduce over the fanout axis —
+    the TPU-shaped form of the reference's dense ``[n, fanout, d]`` aggregation
+    (``sageconv.py:32-45``). Semantics match the COO ops on Blocks exactly:
+
+    * ``mean``: plain mean over all slots (masked slots alias the destination's own
+      row by construction, like ``spmm_mean_coo`` with the Block's COO view);
+    * ``sum``: mask-weighted sum / fanout (== ``spmm_coo`` with ``Block.edge_weight``);
+    * ``max``: max over all slots.
+    """
+    f = x.shape[-1]
+    neigh = jax.lax.dynamic_slice_in_dim(x, n_dst, n_dst * fanout, axis=0)
+    neigh = neigh.reshape(n_dst, fanout, f)
+    if kind == "mean":
+        return neigh.mean(axis=1)
+    if kind == "sum":
+        w = neigh_mask.astype(neigh.dtype)[..., None]
+        return (neigh * w).sum(axis=1) / float(max(fanout, 1))
+    if kind == "max":
+        return neigh.max(axis=1)
+    raise ValueError(f"unknown aggregation {kind!r}")
 
 
 def sddmm_coo(

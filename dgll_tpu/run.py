@@ -40,17 +40,25 @@ def build_dataset(cfg):
 
 
 def build_model(cfg, n_class: int):
-    from dgll_tpu.nn import GAT, GCN, GraphSAGE
+    import jax.numpy as jnp
 
+    from dgll_tpu.nn import GAT, GCN, GINNode, GraphSAGE
+
+    dtype = {"float32": None, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
+        cfg.dtype, None
+    )
     if cfg.model.upper() == "GCN":
         return GCN(hidden=cfg.nhid, n_class=n_class, n_layers=cfg.n_layers,
-                   dropout=cfg.dropout)
+                   dropout=cfg.dropout, dtype=dtype)
     if cfg.model.upper() == "GAT":
         return GAT(hidden=cfg.nhid, n_class=n_class, num_heads=cfg.n_heads,
-                   n_layers=cfg.n_layers, dropout=cfg.dropout)
+                   n_layers=cfg.n_layers, dropout=cfg.dropout, dtype=dtype)
     if cfg.model.upper() in ("GRAPHSAGE", "SAGE"):
         return GraphSAGE(hidden=cfg.nhid, n_class=n_class, n_layers=cfg.n_layers,
-                         dropout=cfg.dropout)
+                         dropout=cfg.dropout, dtype=dtype)
+    if cfg.model.upper() == "GIN":
+        return GINNode(hidden=cfg.nhid, n_class=n_class, n_layers=cfg.n_layers,
+                       dropout=cfg.dropout, dtype=dtype)
     raise ValueError(f"unknown model {cfg.model!r}")
 
 
@@ -89,6 +97,7 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
     )
 
     t_start = time.perf_counter()
+    extra: dict = {}
     if cfg.sampler == "full":
         tr = FullBatchTrainer(model, tx, seed=trial_seed)
         with timer.phase("train"):
@@ -107,12 +116,65 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
 
         from dgll_tpu.dataloader import DataLoader
 
+        # ---- COG community flow (ref CommGNN_train.py:30-160 / main_cog.py):
+        # detect + merge + split + relabel, then one community-restricted loader
+        # per contiguous community range.
+        book = None
+        if cfg.n_parts > 1:
+            if cfg.sampler != "neighbor":
+                raise ValueError("--n_parts > 1 requires --samp_type neighbor "
+                                 "(community-restricted neighbour sampling)")
+            from dgll_tpu.parallel import run_cog
+
+            cap = -(-g.n_real_node // cfg.n_parts)
+            d_feat = int(np.asarray(g.node_feat).shape[1])
+            budget = cap * (d_feat * 4 + 4)
+            with timer.phase("cog"):
+                g, book, cog_t = run_cog(
+                    g, hbm_budget_bytes=budget,
+                    batch_size=min(cfg.batch_size, cap), seed=cfg.seed,
+                )
+            extra["n_communities"] = len(book)
+            extra["cog_s"] = float(sum(cog_t.values()))
+            log.info(f"COG: {len(book)} communities in {extra['cog_s']:.2f}s")
+
         sampler = build_sampler(cfg, g)
         train_nodes = g.get_train_nodes()
-        loader = DataLoader(g, train_nodes, sampler, cfg.batch_size, seed=trial_seed)
+
+        # ---- HBM feature cache (ref GraphCacheServer flow, FeatureCache/gcn.py):
+        # --cached_nPercent of nodes, top out-degree policy; misses from host.
+        cache = None
+        fetch = None
+        if cfg.cached_percent > 0:
+            from dgll_tpu.cache import HBMFeatureCache
+
+            host_feats = np.asarray(g.node_feat, np.float32)
+            cache = HBMFeatureCache(host_feats)
+            k = int(cfg.cached_percent / 100.0 * g.n_real_node)
+            budget = k * host_feats.shape[1] * host_feats.itemsize
+            cache.auto_cache(g.out_degrees_np(), budget)
+            fetch = lambda ids: cache.fetch(np.asarray(ids))
+            log.info(f"cache: {cache.k}/{g.n_real_node} rows resident")
+
+        if book is not None:
+            from dgll_tpu.sampling import CommunityNeighborSampler
+
+            loaders = []
+            for cid, (lo, hi) in book.items():
+                seeds_c = train_nodes[(train_nodes >= lo) & (train_nodes < hi)]
+                if len(seeds_c) == 0:
+                    continue
+                bsz = min(cfg.batch_size, max(len(seeds_c), 1))
+                cs = CommunityNeighborSampler(cfg.fanouts, (lo, hi), seed=cfg.seed)
+                loaders.append(DataLoader(g, seeds_c, cs, bsz, seed=trial_seed))
+        else:
+            loaders = [DataLoader(g, train_nodes, sampler, cfg.batch_size,
+                                  seed=trial_seed)]
+
         tr = MiniBatchTrainer(model, tx, seed=trial_seed)
-        _, _, b0 = sampler.sample(loader.host_g, train_nodes[: cfg.batch_size],
-                                  pad_to=cfg.batch_size)
+        l0 = loaders[0]
+        _, _, b0 = l0.sampler.sample(l0.host_g, l0.seeds[: l0.batch_size],
+                                     pad_to=l0.batch_size)
         feats = jnp.asarray(g.node_feat)
         labels = jnp.asarray(g.labels)
         x0 = jnp.take(feats, jnp.asarray(b0[0].src_ids), axis=0)
@@ -122,10 +184,17 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
                                 shuffle=False, seed=trial_seed + 1)
         for epoch in range(cfg.n_epochs):
             with timer.phase("train"):
-                state, loss, dt = tr.run_epoch(state, loader, feats, labels)
+                losses, dt = [], 0.0
+                for loader in loaders:
+                    state, loss, d = tr.run_epoch(state, loader, feats, labels,
+                                                  fetch_fn=fetch)
+                    losses.append(loss)
+                    dt += d
+                loss = float(np.mean(losses))
             n_epochs_run += 1
             with timer.phase("validate"):
-                val = tr.evaluate_nodes(state, val_loader, feats, labels)
+                val = tr.evaluate_nodes(state, val_loader, feats, labels,
+                                        fetch_fn=fetch)
             if val > best_val:
                 best_val, bad = val, 0
             else:
@@ -135,8 +204,13 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
                 break
         test_loader = DataLoader(g, g.get_test_nodes(), sampler, cfg.batch_size,
                                  shuffle=False, seed=trial_seed + 2)
-        test_acc = tr.evaluate_nodes(state, test_loader, feats, labels)
+        test_acc = tr.evaluate_nodes(state, test_loader, feats, labels, fetch_fn=fetch)
         f1 = test_acc
+        if cache is not None:
+            rate, lookups, misses = cache.miss_rate()
+            extra["cache_miss_rate"] = float(rate)
+            extra["cache_lookups"] = int(lookups)
+            extra["cached_rows"] = int(cache.k)
 
     total = time.perf_counter() - t_start
     if cfg.checkpoint_dir:
@@ -152,6 +226,7 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
         "epochs": n_epochs_run,
         "train_s": timer.totals.get("train", total),
         "total_s": total,
+        **extra,
     }
 
 

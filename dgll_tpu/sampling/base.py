@@ -111,6 +111,10 @@ class SparseBlock:
     n_dst: int = struct.field(pytree_node=False, default=0)
     n_src: int = struct.field(pytree_node=False, default=0)
     n_edge: int = struct.field(pytree_node=False, default=0)
+    # True iff source slot i < n_dst is destination i itself (the layer protocol).
+    # Layers needing self features (SAGE/GIN/GAT) reject blocks where this is False
+    # (pure importance-sampled blocks, ``include_seeds=False``).
+    self_at_head: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_src_nodes(self) -> int:

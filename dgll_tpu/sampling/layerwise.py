@@ -112,22 +112,39 @@ class LayerWiseSampler(BaseSampler):
         prev_ids, prev_mask = out_ids, out_mask  # dst side of the current (top) layer
         # iterate from the output layer downwards (innermost block first), then reverse
         for s in reversed(self.layer_sizes):
-            p = self._layer_probs(prev_ids[prev_mask])
+            prev_real = prev_ids[prev_mask]
+            p = self._layer_probs(prev_real)
             if self.flatten:
                 p = np.sqrt(p)
             cand = _draw_without_replacement(p, s, self._rng, self.wrs)
             if self.include_seeds:
-                nxt = np.unique(np.concatenate([cand, seeds]))
+                # Layer protocol: source slot i < n_dst is destination i itself.
+                # The previous layer's (padded) dst ids sit at the head of src_ids,
+                # then the drawn candidates not already present (reference appends
+                # the batch nodes each layer, MQFastGCN.py:81-84; putting them at the
+                # head makes x[:n_dst] the self features SAGE/GIN/GAT expect).
+                extra = np.setdiff1d(np.unique(cand), prev_real)
+                b_prev = prev_ids.shape[0]
+                src_ids = np.zeros(b_prev + s, np.int64)
+                src_mask = np.zeros(b_prev + s, bool)
+                src_ids[:b_prev] = prev_ids
+                src_mask[:b_prev] = prev_mask
+                k = min(len(extra), s)
+                src_ids[b_prev : b_prev + k] = extra[:k]
+                src_mask[b_prev : b_prev + k] = True
+                self_at_head = True
             else:
-                nxt = np.unique(cand)
-            n_src_pad = s + (b if self.include_seeds else 0)
-            src_ids, src_mask = _pad_ids(nxt, n_src_pad)
+                # pure importance sample (unbiased estimator); no self guarantee
+                src_ids, src_mask = _pad_ids(np.unique(cand), s)
+                self_at_head = False
 
-            # Q = L[prev, :][:, next], columns rescaled by 1 / (p_j * s)
+            # Q = L[prev, :][:, src], columns rescaled by 1 / (p_j * s)
+            real_src = src_ids[src_mask]
             pfull = p / max(p.sum(), 1e-30)
-            Q = self.lap[prev_ids[prev_mask]][:, nxt].tocoo()
-            scale = 1.0 / np.maximum(pfull[nxt[Q.col]] * s, 1e-12)
+            Q = self.lap[prev_real][:, real_src].tocoo()
+            scale = 1.0 / np.maximum(pfull[real_src[Q.col]] * s, 1e-12)
             data = Q.data * scale
+            src_pos = np.nonzero(src_mask)[0]  # local slot of each real src column
 
             blocks.insert(
                 0,
@@ -137,9 +154,10 @@ class LayerWiseSampler(BaseSampler):
                     src_ids=src_ids,
                     src_mask=src_mask,
                     rows=np.nonzero(prev_mask)[0][Q.row],
-                    cols=Q.col,
+                    cols=src_pos[Q.col],
                     vals=data.astype(np.float32),
                     n_edge=prev_ids.shape[0] * self.edges_per_dst,
+                    self_at_head=self_at_head,
                 ),
             )
             prev_ids, prev_mask = src_ids, src_mask
@@ -148,7 +166,8 @@ class LayerWiseSampler(BaseSampler):
         return input_nodes, out_ids, blocks
 
 
-def _pack_sparse_block(dst_ids, dst_mask, src_ids, src_mask, rows, cols, vals, n_edge):
+def _pack_sparse_block(dst_ids, dst_mask, src_ids, src_mask, rows, cols, vals, n_edge,
+                       self_at_head=True):
     ne = len(vals)
     if ne > n_edge:
         # keep the heaviest edges if over budget (importance-weighted truncation)
@@ -171,6 +190,7 @@ def _pack_sparse_block(dst_ids, dst_mask, src_ids, src_mask, rows, cols, vals, n
         n_dst=int(dst_ids.shape[0]),
         n_src=int(src_ids.shape[0]),
         n_edge=int(n_edge),
+        self_at_head=bool(self_at_head),
     )
 
 

@@ -178,14 +178,20 @@ class MiniBatchTrainer:
         self.rng, init_rng = jax.random.split(self.rng)
         return create_train_state(self.model, init_rng, self.optimizer, list(blocks), x)
 
-    def run_epoch(self, state: TrainState, loader, features, labels) -> tuple:
+    def run_epoch(self, state: TrainState, loader, features, labels,
+                  fetch_fn: Optional[Callable] = None) -> tuple:
         """One epoch over the loader. ``features``/``labels`` are full [N, d]/[N] arrays
-        (device-resident); per-batch gathers happen on device from block ids."""
+        (device-resident); per-batch gathers happen on device from block ids.
+        ``fetch_fn(src_ids) -> [n_src, d]`` overrides the feature gather (e.g. an
+        ``HBMFeatureCache.fetch`` serving hits from HBM and misses from the host)."""
         features, labels = jax.tree.map(jnp.asarray, (features, labels))
         total, nb = 0.0, 0
         t0 = time.perf_counter()
         for inp, out, blocks in loader:
-            x = jnp.take(features, blocks[0].src_ids, axis=0)
+            if fetch_fn is None:
+                x = jnp.take(features, blocks[0].src_ids, axis=0)
+            else:
+                x = fetch_fn(blocks[0].src_ids)
             y = jnp.take(labels, blocks[-1].dst_ids, axis=0)
             mask = blocks[-1].dst_mask
             self.rng, drng = jax.random.split(self.rng)
@@ -194,12 +200,16 @@ class MiniBatchTrainer:
             nb += 1
         return state, total / max(nb, 1), time.perf_counter() - t0
 
-    def evaluate_nodes(self, state, loader, features, labels) -> float:
+    def evaluate_nodes(self, state, loader, features, labels,
+                       fetch_fn: Optional[Callable] = None) -> float:
         """Sampled evaluation accuracy over the loader's seed nodes."""
         features, labels = jax.tree.map(jnp.asarray, (features, labels))
         hits, count = 0.0, 0.0
         for inp, out, blocks in loader:
-            x = jnp.take(features, blocks[0].src_ids, axis=0)
+            if fetch_fn is None:
+                x = jnp.take(features, blocks[0].src_ids, axis=0)
+            else:
+                x = fetch_fn(blocks[0].src_ids)
             logp = self.evaluate(state, tuple(blocks), x)
             y = np.asarray(jnp.take(labels, blocks[-1].dst_ids, axis=0))
             m = np.asarray(blocks[-1].dst_mask)

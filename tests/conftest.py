@@ -5,8 +5,9 @@ Mirrors the reference's "Gloo on one host" trick for cluster-free distributed te
 """
 import os
 
-# Force-override: the ambient environment pins JAX_PLATFORMS to the TPU tunnel; unit
-# tests must run on the virtual CPU mesh regardless.
+# The ambient environment force-registers a TPU plugin and pins JAX_PLATFORMS at
+# interpreter startup (sitecustomize), so the env var alone is NOT enough: the
+# config update below (after import) is what actually re-selects the CPU backend.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -14,4 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", (
+    "test suite must run on the virtual CPU mesh; got " + jax.default_backend()
+)

@@ -88,3 +88,52 @@ def test_quantized_cache_roundtrip():
     # cached rows come back dequantised (~1% error); misses exact
     assert np.abs(out[0] - feats[3]).mean() < 0.05
     np.testing.assert_allclose(out[1], feats[40], rtol=1e-6)
+
+
+def test_load_dataP_text_format(tmp_path):
+    """Parse the reference GIN text format (utils.py:286-385): header `n label`,
+    node rows `tag deg nbrs... [attrs...]`."""
+    from dgll_tpu.data import load_dataP, s2v_to_tuples, separate_graphs
+
+    txt = "\n".join([
+        "2",
+        "3 5",            # graph 0: 3 nodes, raw label 5
+        "7 2 1 2",        # node 0: tag 7, deg 2, nbrs 1 2
+        "7 1 0",          # node 1: tag 7, deg 1, nbr 0
+        "9 1 0",          # node 2: tag 9, deg 1, nbr 0
+        "2 3",            # graph 1: 2 nodes, raw label 3
+        "9 1 1 0.5 1.5",  # node 0: tag 9, deg 1, nbr 1, attrs [0.5, 1.5]
+        "7 1 0 2.5 3.5",  # node 1
+        "",
+    ])
+    p = tmp_path / "toy.txt"
+    p.write_text(txt)
+    graphs, n_class = load_dataP(str(p))
+    assert n_class == 2
+    g0, g1 = graphs
+    # labels densely remapped in first-seen order: 5 -> 0, 3 -> 1
+    assert g0.label == 0 and g1.label == 1
+    # tags remapped first-seen: 7 -> 0, 9 -> 1
+    assert g0.node_tags == [0, 0, 1]
+    assert g0.n_node == 3 and g0.max_neighbor == 2
+    # bidirected edges
+    pairs = set(zip(g0.src.tolist(), g0.dst.tolist()))
+    assert (0, 1) in pairs and (1, 0) in pairs and (2, 0) in pairs and (0, 2) in pairs
+    # graph 0 has no attrs -> one-hot tag features [n, n_tag=2]
+    assert g0.node_features.shape == (3, 2)
+    np.testing.assert_allclose(g0.node_features[2], [0.0, 1.0])
+    # graph 1 has float attrs
+    np.testing.assert_allclose(g1.node_features, [[0.5, 1.5], [2.5, 3.5]])
+
+    tuples = s2v_to_tuples(graphs)
+    assert len(tuples) == 2 and tuples[0][3] == 0
+
+    # degree_as_tag override
+    graphs2, _ = load_dataP(str(p), degree_as_tag=True)
+    assert graphs2[0].node_tags == [graphs2[0].node_tags[0]] + graphs2[0].node_tags[1:]
+
+    # stratified graph folds
+    many = graphs * 10
+    train, test = separate_graphs(many, seed=0, fold_idx=0)
+    assert len(train) + len(test) == 20
+    assert {g.label for g in test} == {0, 1}

@@ -132,3 +132,32 @@ def test_bf16_training(g):
     # params stay fp32 (master weights)
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_cli_community_cache_flow():
+    """One CLI invocation reproducing the reference CommGNN_train flow end-to-end:
+    COG -> community loaders + HBM cache -> early-stop training (VERDICT r1 #7)."""
+    from dgll_tpu import run as cli
+
+    out = cli.main([
+        "--dataset", "synthetic", "--n_node", "300", "--avg_degree", "6",
+        "--feat_dim", "16", "--n_class", "4", "--Model", "GCN",
+        "--n_epochs", "2", "--batch_size", "64", "--n_parts", "2",
+        "--cached_nPercent", "30", "--fanouts", "4,3",
+    ])
+    t = out["trials"][0]
+    assert t["n_communities"] >= 2
+    assert 0.0 <= t["cache_miss_rate"] <= 1.0
+    assert t["cached_rows"] == 90
+    assert np.isfinite(t["test_acc"])
+
+
+def test_cli_gin_model():
+    from dgll_tpu import run as cli
+
+    out = cli.main([
+        "--dataset", "synthetic", "--n_node", "200", "--avg_degree", "5",
+        "--feat_dim", "16", "--n_class", "3", "--Model", "GIN",
+        "--n_epochs", "1", "--batch_size", "32", "--fanouts", "3,2",
+    ])
+    assert np.isfinite(out["trials"][0]["test_acc"])

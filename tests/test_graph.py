@@ -94,3 +94,25 @@ def test_padded_norm_weights_zero():
     g = pad_graph(tiny_graph(), 8, 16)
     g = row_normalize_adj(g)
     assert np.all(np.asarray(g.edge_weight)[5:] == 0)
+
+
+def test_pad_aligned_nodes_no_phantom_messages():
+    """Regression: n_node already a multiple but edges padded — pad edges must NOT
+    self-loop on a real node (unweighted aggregation picked up phantom messages)."""
+    from dgll_tpu.ops.spmm import spmm_coo, spmm_mean_coo, spmm_max_coo
+
+    src = [0, 1, 2]
+    dst = [7, 7, 7]
+    g = Graph.from_edges(src, dst, 8)  # 8 nodes, already aligned to node_multiple=8
+    p = pad_graph(g, node_multiple=8, edge_multiple=128)
+    # pad edges target a padded node, never a real one
+    assert p.n_node > 8
+    assert np.all(np.asarray(p.dst)[3:] >= 8)
+    x = np.zeros((p.n_node, 2), np.float32)
+    x[:8] = np.arange(16, dtype=np.float32).reshape(8, 2)
+    for agg in (spmm_coo, spmm_mean_coo, spmm_max_coo):
+        out = np.asarray(agg(jnp.asarray(p.src), jnp.asarray(p.dst), jnp.asarray(x), p.n_node))
+        # node 7 aggregates exactly its 3 real in-neighbours {0,1,2}
+        expect = {spmm_coo: x[0] + x[1] + x[2], spmm_mean_coo: (x[0] + x[1] + x[2]) / 3,
+                  spmm_max_coo: x[2]}[agg]
+        np.testing.assert_allclose(out[7], expect, rtol=1e-6)

@@ -165,3 +165,36 @@ def test_wrs_and_flat_variants(g, hg):
 def test_geometric_layer_sizes():
     sizes = geometric_layer_sizes(64, 2.0, 3)
     assert sizes == [256, 128, 64]
+
+
+def test_sparse_block_self_at_head(g, hg):
+    """Layer protocol: src slot i < n_dst is destination i itself (VERDICT r1 weak #4)."""
+    lap = normalized_laplacian(g)
+    s = FastGCNSampler(lap, layer_sizes=[32, 16], edges_per_dst=64, seed=0)
+    _, _, blocks = s.sample(hg, np.arange(8))
+    for b in blocks:
+        assert b.self_at_head
+        np.testing.assert_array_equal(
+            np.asarray(b.src_ids)[: b.n_dst], np.asarray(b.dst_ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b.src_mask)[: b.n_dst], np.asarray(b.dst_mask)
+        )
+        # edges index real slots only
+        e = np.asarray(b.edge_weight) != 0
+        assert np.asarray(b.src_mask)[np.asarray(b.src)[e]].all()
+
+
+def test_layers_reject_blocks_without_self(g, hg):
+    import jax
+    from dgll_tpu.nn import SAGEConv, GINConv, GATConv
+
+    lap = normalized_laplacian(g)
+    s = FastGCNSampler(lap, layer_sizes=[16], edges_per_dst=64, seed=0,
+                       include_seeds=False)
+    _, _, (b,) = s.sample(hg, np.arange(4))
+    assert not b.self_at_head
+    x = jnp.ones((b.n_src, 8))
+    for layer in (SAGEConv(4), GINConv(4), GATConv(4)):
+        with pytest.raises(ValueError, match="self features"):
+            layer.init(jax.random.key(0), b, x)
