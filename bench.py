@@ -7,6 +7,7 @@ published per-batch time on ogbn-products, 6.12 ms on 1 GPU (BASELINE.md: README
 >1.0 means we are faster per batch.
 
 Scale knobs via env: BENCH_NODES, BENCH_DEG, BENCH_BATCH, BENCH_STEPS.
+BENCH_FULLGRAPH=0 skips the secondary full-graph compiled-kernel metric.
 """
 from __future__ import annotations
 
@@ -116,6 +117,14 @@ def main() -> None:
     edges_per_batch = batch * fanouts[-1] + batch * (1 + fanouts[-1]) * fanouts[0]
     edges_per_s = edges_per_batch / dt
 
+    # ---- secondary: full-graph GCN train step through the compiled Pallas
+    # chunked-SpMM path (Graph.with_chunked), the twin of the reference's fused
+    # CUDA kernel usage (FusedKernel/train_gcn.py:95-110), with roofline fraction.
+    fullgraph = {}
+    if os.environ.get("BENCH_FULLGRAPH", "1") != "0":
+        fullgraph = _fullgraph_kernel_bench(jax, jnp)
+        _log(f"fullgraph kernel bench: {fullgraph}")
+
     baseline_ms = 6.12  # DGLL MQ-FastGCN+f+d ogbn-products batch time, 1 GPU
     print(json.dumps({
         "metric": "sage_minibatch_batch_time",
@@ -131,8 +140,69 @@ def main() -> None:
             "feat_dim": feat_dim,
             "hidden": hidden,
             "device": str(jax.devices()[0]),
+            "fullgraph_gcn_pallas": fullgraph,
         },
     }))
+
+
+def _fullgraph_kernel_bench(jax, jnp, hbm_gbps: float = 819.0) -> dict:
+    """Full-graph 2-layer GCN train step over the compiled chunked-SpMM kernels."""
+    import optax
+
+    from dgll_tpu.data import gcn_normalize
+    from dgll_tpu.graph import Graph
+    from dgll_tpu.nn import GCN
+    from dgll_tpu.train.trainer import create_train_state, make_full_batch_step
+
+    n_node = int(os.environ.get("BENCH_FG_NODES", 200_000))
+    avg_deg = int(os.environ.get("BENCH_FG_DEG", 16))
+    # widths MXU-tileable so BOTH layers ride the compiled kernel (the chunked
+    # path needs F % 128 == 0; a 32-class head would fall back to XLA scatter)
+    feat_dim, hidden, n_class = 128, 128, 128
+    rng = np.random.default_rng(1)
+    src, dst = _power_law_graph(n_node, avg_deg, seed=1)
+    g = Graph.from_edges(
+        src, dst, n_node,
+        node_feat=rng.standard_normal((n_node, feat_dim), dtype=np.float32),
+        labels=rng.integers(0, n_class, n_node).astype(np.int32),
+        train_mask=np.ones(n_node, bool),
+        add_self_loops=True,
+    )
+    g = gcn_normalize(g).with_chunked(eb=512).to_device()
+    assert g.chunked is not None and not g.chunked.interpret
+
+    model = GCN(hidden=hidden, n_class=n_class, dropout=0.0)
+    state = create_train_state(model, jax.random.key(0), optax.adam(1e-3), g,
+                               g.node_feat)
+    step = make_full_batch_step()
+    key = jax.random.key(1)
+
+    def run_chain(k: int) -> float:
+        nonlocal state
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(k):
+            state, loss = step(state, g, g.node_feat, g.labels, g.train_mask, key)
+        float(loss)
+        return time.perf_counter() - t0
+
+    run_chain(2)
+    t_small = run_chain(3)
+    t_large = run_chain(9)
+    dt = max((t_large - t_small) / 6, 1e-9)
+    n_edge = g.n_real_edge
+    c = g.chunked
+    # fwd 2 spmm + bwd 2 spmm over A^T: 4 kernel passes, each gather r+w + re-read
+    slots = c.n_chunk * c.eb
+    bytes_moved = 4 * (3 * slots + n_node) * hidden * 4
+    return {
+        "step_ms": round(dt * 1e3, 2),
+        "edges_per_s_per_layerpass": int(4 * n_edge / dt),
+        "n_node": n_node,
+        "n_edge": int(n_edge),
+        "pad_factor": round(slots / n_edge, 3),
+        "roofline_fraction": round(bytes_moved / dt / 1e9 / hbm_gbps, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -66,7 +66,8 @@ def main():
         ta = chain_time(jax.jit(step_a), x0, k_small=3, k_large=10)
         if base is None:
             base = th
-        eff = 100.0 * base / (th * D) * D  # time-based: ideal = constant step time
+        # weak-scaling efficiency: the graph is fixed, so ideal D-device step time
+        # equals the 1-device time (each device does 1/D of the work)
         eff = 100.0 * base / th
         halo_mb = D * D * plan.halo_size * feat * 4 / 1e6
         allg_mb = D * (D - 1) * pg.rows_per_shard * feat * 4 / 1e6

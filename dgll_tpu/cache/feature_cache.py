@@ -57,6 +57,28 @@ class HBMFeatureCache:
         self.fill(top)
         return k
 
+    def device_budget_bytes(self, reserve_bytes: int = 1 << 30) -> Optional[int]:
+        """Free-HBM budget probed from the live device, the reference's capacity
+        model (``storage.py:72-82``: total - peak allocated - reserve). Returns
+        None when the backend exposes no memory stats (probe after the first
+        training step so peak compile/working memory is already counted, like the
+        reference's auto_cache-after-step-1, ``gcn.py:96-97``)."""
+        d = self.device or jax.local_devices()[0]
+        stats = d.memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if not limit:
+            return None
+        in_use = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0))
+        return max(0, int(limit) - int(in_use) - int(reserve_bytes))
+
+    def auto_cache_from_device(self, scores: np.ndarray,
+                               reserve_bytes: int = 1 << 30) -> int:
+        """``auto_cache`` with the budget probed from the device's memory stats."""
+        budget = self.device_budget_bytes(reserve_bytes)
+        if budget is None:
+            return 0
+        return self.auto_cache(scores, budget)
+
     def fill(self, node_ids: np.ndarray) -> None:
         node_ids = np.asarray(node_ids, np.int64)
         self.k = len(node_ids)

@@ -78,13 +78,58 @@ extern "C" {
 
 // Counting-sort CSR build. dst[e] in [0, n). Fills indptr[n+1] and order[e]
 // (stable permutation that sorts edges by dst — apply to src/weights in python).
+// Parallel 3-phase counting sort: per-thread histograms over disjoint edge
+// ranges, prefix over (bucket, thread), then an independent stable scatter per
+// thread — reference-scale (100M-edge) graphs build in a few seconds.
 void dgll_build_csr(const int64_t* dst, int64_t e, int64_t n, int64_t* indptr,
                     int64_t* order) {
-    std::memset(indptr, 0, sizeof(int64_t) * (n + 1));
-    for (int64_t i = 0; i < e; ++i) indptr[dst[i] + 1]++;
-    for (int64_t v = 0; v < n; ++v) indptr[v + 1] += indptr[v];
-    std::vector<int64_t> cur(indptr, indptr + n);
-    for (int64_t i = 0; i < e; ++i) order[cur[dst[i]]++] = i;
+    int nw = n_workers(e, 1 << 20);
+    if (nw <= 1 || n > (int64_t)1 << 31) {
+        std::memset(indptr, 0, sizeof(int64_t) * (n + 1));
+        for (int64_t i = 0; i < e; ++i) indptr[dst[i] + 1]++;
+        for (int64_t v = 0; v < n; ++v) indptr[v + 1] += indptr[v];
+        std::vector<int64_t> cur(indptr, indptr + n);
+        for (int64_t i = 0; i < e; ++i) order[cur[dst[i]]++] = i;
+        return;
+    }
+    int64_t chunk = (e + nw - 1) / nw;
+    std::vector<std::vector<int64_t>> local(nw);
+    {
+        std::vector<std::thread> ts;
+        for (int w = 0; w < nw; ++w)
+            ts.emplace_back([&, w] {
+                auto& h = local[w];
+                h.assign(n, 0);
+                int64_t lo = w * chunk, hi = std::min(e, lo + chunk);
+                for (int64_t i = lo; i < hi; ++i) h[dst[i]]++;
+            });
+        for (auto& t : ts) t.join();
+    }
+    // indptr + per-thread start offsets: thread w's slot run for bucket v begins at
+    // indptr[v] + sum_{u<w} local[u][v] (stable: earlier threads take earlier slots)
+    indptr[0] = 0;
+    for (int64_t v = 0; v < n; ++v) {
+        int64_t tot = 0;
+        for (int w = 0; w < nw; ++w) {
+            int64_t c = local[w][v];
+            local[w][v] = tot;  // becomes the within-bucket offset for thread w
+            tot += c;
+        }
+        indptr[v + 1] = indptr[v] + tot;
+    }
+    {
+        std::vector<std::thread> ts;
+        for (int w = 0; w < nw; ++w)
+            ts.emplace_back([&, w] {
+                auto& off = local[w];
+                int64_t lo = w * chunk, hi = std::min(e, lo + chunk);
+                for (int64_t i = lo; i < hi; ++i) {
+                    int64_t v = dst[i];
+                    order[indptr[v] + off[v]++] = i;
+                }
+            });
+        for (auto& t : ts) t.join();
+    }
 }
 
 // Uniform with-replacement fanout sampling over an in-edge CSR.
@@ -174,6 +219,162 @@ void dgll_node2vec_walks(const int64_t* indptr, const int64_t* nbrs_sorted,
     });
 }
 
-int dgll_abi_version() { return 1; }
+// Fused CSR build + permutation apply: like dgll_build_csr, but the scatter pass
+// writes the permuted src/dst/weight directly (int32 outputs), skipping the
+// numpy fancy-gather passes that dominate at 100M edges on few-core hosts.
+void dgll_build_csr_apply(const int64_t* dst, const int64_t* src, const float* w,
+                          int64_t e, int64_t n, int64_t* indptr, int32_t* src_out,
+                          int32_t* dst_out, float* w_out) {
+    int nw = n_workers(e, 1 << 20);
+    int64_t chunk = (e + nw - 1) / nw;
+    std::vector<std::vector<int64_t>> local(nw);
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nw; ++t)
+            ts.emplace_back([&, t] {
+                auto& h = local[t];
+                h.assign(n, 0);
+                int64_t lo = t * chunk, hi = std::min(e, lo + chunk);
+                for (int64_t i = lo; i < hi; ++i) h[dst[i]]++;
+            });
+        for (auto& t : ts) t.join();
+    }
+    indptr[0] = 0;
+    for (int64_t v = 0; v < n; ++v) {
+        int64_t tot = 0;
+        for (int t = 0; t < nw; ++t) {
+            int64_t c = local[t][v];
+            local[t][v] = tot;
+            tot += c;
+        }
+        indptr[v + 1] = indptr[v] + tot;
+    }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nw; ++t)
+        ts.emplace_back([&, t] {
+            auto& off = local[t];
+            int64_t lo = t * chunk, hi = std::min(e, lo + chunk);
+            for (int64_t i = lo; i < hi; ++i) {
+                int64_t v = dst[i];
+                int64_t slot = indptr[v] + off[v]++;
+                src_out[slot] = (int32_t)src[i];
+                dst_out[slot] = (int32_t)v;
+                if (w_out) w_out[slot] = w[i];
+            }
+        });
+    for (auto& t : ts) t.join();
+}
+
+// Pack relabeled edges into per-shard padded slabs (partition_graph's hot loop):
+// shard p owns dst rows [p*rows, (p+1)*rows); edge i lands at slot
+// (p, within-shard arrival index). Stable parallel two-phase counting scatter.
+void dgll_partition_pack(const int64_t* src, const int64_t* dst, const float* w,
+                         int64_t e, int64_t rows, int64_t n_parts, int64_t e_shard,
+                         int32_t* S, int32_t* D, float* W) {
+    int nw = n_workers(e, 1 << 20);
+    int64_t chunk = (e + nw - 1) / nw;
+    std::vector<std::vector<int64_t>> local(nw);
+    {
+        std::vector<std::thread> ts;
+        for (int t = 0; t < nw; ++t)
+            ts.emplace_back([&, t] {
+                auto& h = local[t];
+                h.assign(n_parts, 0);
+                int64_t lo = t * chunk, hi = std::min(e, lo + chunk);
+                for (int64_t i = lo; i < hi; ++i) h[dst[i] / rows]++;
+            });
+        for (auto& t : ts) t.join();
+    }
+    for (int64_t p = 0; p < n_parts; ++p) {
+        int64_t tot = 0;
+        for (int t = 0; t < nw; ++t) {
+            int64_t c = local[t][p];
+            local[t][p] = tot;
+            tot += c;
+        }
+    }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nw; ++t)
+        ts.emplace_back([&, t] {
+            auto off = local[t];
+            int64_t lo = t * chunk, hi = std::min(e, lo + chunk);
+            for (int64_t i = lo; i < hi; ++i) {
+                int64_t p = dst[i] / rows;
+                int64_t slot = p * e_shard + off[p]++;
+                S[slot] = (int32_t)src[i];
+                D[slot] = (int32_t)(dst[i] - p * rows);
+                W[slot] = w[i];
+            }
+        });
+    for (auto& t : ts) t.join();
+}
+
+// Asynchronous label propagation over the in-edge CSR — the COG community
+// detector's hot loop (reference runs igraph/leidenalg here, cog.py:218-228).
+// In-place on labels[n]; returns after max_iters or convergence. Races between
+// worker threads are benign for LP (async update is the classic formulation).
+void dgll_label_propagation(const int64_t* indptr, const int64_t* nbrs, int64_t n,
+                            int64_t max_iters, int64_t* labels) {
+    for (int64_t it = 0; it < max_iters; ++it) {
+        std::atomic<int64_t> changed{0};
+        parallel_for(n, 16384, [&](int64_t lo, int64_t hi, int) {
+            // grow-only open-addressing counter, reset via touched list
+            std::vector<int64_t> key;
+            std::vector<int32_t> cnt;
+            std::vector<int64_t> touched;
+            size_t cap = 0;
+            for (int64_t v = lo; v < hi; ++v) {
+                int64_t d0 = indptr[v], deg = indptr[v + 1] - d0;
+                if (deg == 0) continue;
+                size_t want = 1;
+                while (want < (size_t)deg * 2) want <<= 1;
+                if (want > cap) {
+                    cap = want;
+                    key.assign(cap, -1);
+                    cnt.assign(cap, 0);
+                } else {
+                    for (int64_t t : touched) key[t] = -1, cnt[t] = 0;
+                }
+                touched.clear();
+                int64_t cur = labels[v];
+                int64_t best = cur;
+                int32_t best_cnt = 0, cur_cnt = 0;
+                for (int64_t e = d0; e < d0 + deg; ++e) {
+                    int64_t l = labels[nbrs[e]];
+                    size_t h = (size_t)(l * 0x9e3779b97f4a7c15ULL) & (cap - 1);
+                    while (key[h] != -1 && key[h] != l) h = (h + 1) & (cap - 1);
+                    if (key[h] == -1) {
+                        key[h] = l;
+                        touched.push_back((int64_t)h);
+                    }
+                    int32_t c = ++cnt[h];
+                    if (l == cur) cur_cnt = c;
+                    if (c > best_cnt || (c == best_cnt && l < best)) {
+                        best_cnt = c;
+                        best = l;
+                    }
+                }
+                // strict-majority moves always; ties move only toward the smaller
+                // label — monotone, so async sweeps converge (no oscillation)
+                if (best_cnt > cur_cnt || (best_cnt == cur_cnt && best < cur)) {
+                    labels[v] = best;
+                    changed.fetch_add(1, std::memory_order_relaxed);
+                }
+            }
+        });
+        if (changed.load() == 0) break;
+    }
+}
+
+// Sort each CSR row in place (WalkGraph prep: sorted rows give O(log d)
+// membership tests for node2vec rejection sampling).
+void dgll_sort_rows(const int64_t* indptr, int64_t n, int64_t* vals) {
+    parallel_for(n, 4096, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t v = lo; v < hi; ++v)
+            std::sort(vals + indptr[v], vals + indptr[v + 1]);
+    });
+}
+
+int dgll_abi_version() { return 2; }
 
 }  // extern "C"

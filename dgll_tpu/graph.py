@@ -99,10 +99,15 @@ class Graph:
 
         from dgll_tpu import native
 
-        indptr, order = native.build_csr(dst, n_node)
-        src, dst = src[order], dst[order]
-        if edge_weight is not None:
-            edge_weight = edge_weight[order]
+        fused = native.build_csr_apply(dst, src, edge_weight, n_node)
+        if fused is not None:
+            # fused C++ build+permute (no numpy fancy-gather passes)
+            indptr, src, dst, edge_weight = fused
+        else:
+            indptr, order = native.build_csr(dst, n_node)
+            src, dst = src[order], dst[order]
+            if edge_weight is not None:
+                edge_weight = edge_weight[order]
 
         n_edge = src.shape[0]
         # Leaves stay HOST numpy: graph construction/normalisation/sampling are

@@ -62,8 +62,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_double, ctypes.c_double, ctypes.c_uint64, i64p,
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.dgll_build_csr_apply.argtypes = [
+            i64p, i64p, f32p, ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, f32p,
+        ]
+        lib.dgll_partition_pack.argtypes = [
+            i64p, i64p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, i32p, i32p, f32p,
+        ]
+        lib.dgll_label_propagation.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p,
+        ]
+        lib.dgll_sort_rows.argtypes = [i64p, ctypes.c_int64, i64p]
         lib.dgll_abi_version.restype = ctypes.c_int
-        if lib.dgll_abi_version() != 1:
+        if lib.dgll_abi_version() != 2:
             return None
         _lib = lib
         return _lib
@@ -159,6 +172,86 @@ def _np_walks(indptr, nbrs, starts, L, seed):
         cur = np.where(deg > 0, nxt, cur)
         walks[:, t] = cur
     return walks
+
+
+def build_csr_apply(dst, src, w, n_node: int):
+    """Fused CSR build + permutation: returns (indptr int64, src int32, dst int32,
+    w float32 | None) sorted by dst. None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    dst = np.ascontiguousarray(dst, np.int64)
+    src = np.ascontiguousarray(src, np.int64)
+    e = len(dst)
+    indptr = np.empty(n_node + 1, np.int64)
+    src_out = np.empty(e, np.int32)
+    dst_out = np.empty(e, np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    if w is not None:
+        w = np.ascontiguousarray(w, np.float32)
+        w_out = np.empty(e, np.float32)
+        wp, wop = w.ctypes.data_as(fp), w_out.ctypes.data_as(fp)
+    else:
+        w_out = None
+        wp, wop = ctypes.cast(None, fp), ctypes.cast(None, fp)
+    lib.dgll_build_csr_apply(
+        _p64(dst), _p64(src), wp, e, n_node, _p64(indptr),
+        src_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), wop,
+    )
+    return indptr, src_out, dst_out, w_out
+
+
+def partition_pack(src, dst, w, rows: int, n_parts: int, e_shard: int):
+    """Scatter relabeled edges into per-shard padded slabs; returns (S, D, W)
+    of shape [n_parts, e_shard] (int32/int32/float32). None if lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    w = np.ascontiguousarray(w, np.float32)
+    S = np.zeros((n_parts, e_shard), np.int32)
+    D = np.zeros((n_parts, e_shard), np.int32)
+    W = np.zeros((n_parts, e_shard), np.float32)
+    lib.dgll_partition_pack(
+        _p64(src), _p64(dst),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(src), rows, n_parts, e_shard,
+        S.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        D.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        W.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return S, D, W
+
+
+def label_propagation_native(indptr, nbrs, n: int, max_iters: int,
+                             labels: np.ndarray) -> bool:
+    """In-place async label propagation; returns False if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert labels.dtype == np.int64 and labels.flags["C_CONTIGUOUS"]
+    lib.dgll_label_propagation(
+        _p64(np.ascontiguousarray(indptr, np.int64)),
+        _p64(np.ascontiguousarray(nbrs, np.int64)),
+        n, max_iters, _p64(labels),
+    )
+    return True
+
+
+def sort_rows(indptr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Sort each CSR row of ``vals`` (returns a sorted copy)."""
+    vals = np.ascontiguousarray(vals, np.int64).copy()
+    lib = get_lib()
+    n = len(indptr) - 1
+    if lib is None:
+        for v in range(n):
+            lo, hi = indptr[v], indptr[v + 1]
+            vals[lo:hi] = np.sort(vals[lo:hi])
+        return vals
+    lib.dgll_sort_rows(_p64(np.ascontiguousarray(indptr, np.int64)), n, _p64(vals))
+    return vals
 
 
 def node2vec_walks_native(indptr, nbrs_sorted, starts, walk_length: int, p: float,

@@ -36,7 +36,8 @@ def _spmm_dyn_fwd(interpret, c, ct, msg, weights):
 def _spmm_dyn_bwd(interpret, res, g):
     c, ct, msg, weights = res
     g_edges = expand_rows_chunked(c, g.astype(msg.dtype), interpret=interpret)
-    dmsg = weights.reshape(-1, 1).astype(msg.dtype) * g_edges
+    # msg rides the compute grid (n_chunk rows of eb); weights the metadata layout
+    dmsg = weights[: c.n_chunk].reshape(-1, 1).astype(msg.dtype) * g_edges
     dw = sddmm_chunked_pallas(c, g.astype(msg.dtype), msg, interpret=interpret)
     dw = jnp.where(c.weight != 0, dw, 0.0)
     return zero_cotangent(c), zero_cotangent(ct), dmsg, dw
@@ -68,7 +69,7 @@ def _sddmm_bwd(interpret, res, g):
     da = spmm_chunked_pallas(c, msg, weights=g, interpret=interpret).astype(a.dtype)
     # dmsg_k = g_k * a[dst_k]
     a_edges = expand_rows_chunked(c, a, interpret=interpret)
-    dmsg = g.reshape(-1, 1).astype(msg.dtype) * a_edges
+    dmsg = g[: c.n_chunk].reshape(-1, 1).astype(msg.dtype) * a_edges
     return zero_cotangent(c), zero_cotangent(ct), da, dmsg
 
 
@@ -96,13 +97,15 @@ def gat_attention_chunked(
     One HBM feature gather (source rows), scores/softmax/aggregation on kernels.
     Fully differentiable (custom VJPs above + XLA softmax).
     """
-    msg = jnp.take(h, c.src.reshape(-1), axis=0)          # the one gather
+    nc, nm = c.n_chunk, c.n_chunk_meta
+    msg = jnp.take(h, c.src[:nc].reshape(-1), axis=0)     # the one gather
     sc_src = msg @ a_src.astype(msg.dtype)                # [E] no gather
+    sc_src = jnp.pad(sc_src, (0, (nm - nc) * c.eb))       # to the metadata layout
     s_dst = h @ a_dst.astype(h.dtype)                     # [n_rows]
     dst_global = (c.row_block[:, None] * R_BLOCK + c.dst_local).reshape(-1)
     sc_dst = jnp.take(s_dst, dst_global)                  # scalar gather (small operand)
     e = sc_src + sc_dst.reshape(-1)
-    e = jnp.where(e > 0, e, negative_slope * e).reshape(c.n_chunk, c.eb)
+    e = jnp.where(e > 0, e, negative_slope * e).reshape(nm, c.eb)
     alpha = edge_softmax_chunked(c, e)
     return spmm_dyn(c, ct, msg, alpha, interpret)
 
@@ -123,17 +126,19 @@ def gat_attention_chunked_multihead(
     ``[n_rows, H, F]`` (concat or mean at the call site).
     """
     n_heads, f = a_src.shape
-    msg = jnp.take(h, c.src.reshape(-1), axis=0)          # [E, H*F] one gather
+    nc, nm = c.n_chunk, c.n_chunk_meta
+    msg = jnp.take(h, c.src[:nc].reshape(-1), axis=0)     # [E, H*F] one gather
     dst_global = (c.row_block[:, None] * R_BLOCK + c.dst_local).reshape(-1)
     outs = []
     for hd in range(n_heads):
         sl = slice(hd * f, (hd + 1) * f)
         msg_h = msg[:, sl]
         sc_src = msg_h @ a_src[hd].astype(msg.dtype)
+        sc_src = jnp.pad(sc_src, (0, (nm - nc) * c.eb))
         s_dst = h[:, sl] @ a_dst[hd].astype(h.dtype)
         sc_dst = jnp.take(s_dst, dst_global)
         e = sc_src + sc_dst
-        e = jnp.where(e > 0, e, negative_slope * e).reshape(c.n_chunk, c.eb)
+        e = jnp.where(e > 0, e, negative_slope * e).reshape(nm, c.eb)
         alpha = edge_softmax_chunked(c, e)
         outs.append(spmm_dyn(c, ct, msg_h, alpha, interpret))
     return jnp.stack(outs, axis=1)                         # [n_rows, H, F]

@@ -67,10 +67,12 @@ def sddmm_chunked_pallas(
         ],
         out_specs=pl.BlockSpec((8, c.eb), lambda ci, rb: (ci // 8, 0)),
     )
+    # out rides the metadata layout; rows >= n_chunk are never written (mask scores
+    # with c.weight != 0 downstream, which is 0 there)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((c.n_chunk, c.eb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c.n_chunk_meta, c.eb), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * c.n_chunk * R_BLOCK * c.eb * f + 2 * c.n_chunk * c.eb * f,
@@ -82,10 +84,12 @@ def sddmm_chunked_pallas(
 
 def sddmm_chunked_xla(c: ChunkedCSR, a: jax.Array, msg_b: jax.Array) -> jax.Array:
     """XLA reference of the same contraction (CPU path / kernel oracle)."""
-    a_edges = jnp.take(a, (c.row_block[:, None] * R_BLOCK + c.dst_local).reshape(-1),
-                       axis=0)
+    nc = c.n_chunk
+    dg = (c.row_block[:nc, None] * R_BLOCK + c.dst_local[:nc]).reshape(-1)
+    a_edges = jnp.take(a, dg, axis=0)
     e = jnp.sum(a_edges.astype(jnp.float32) * msg_b.astype(jnp.float32), axis=-1)
-    return e.reshape(c.n_chunk, c.eb)
+    e = e.reshape(nc, c.eb)
+    return jnp.pad(e, ((0, c.n_chunk_meta - nc), (0, 0)))
 
 
 def edge_softmax_chunked(c: ChunkedCSR, scores: jax.Array) -> jax.Array:
@@ -104,4 +108,4 @@ def edge_softmax_chunked(c: ChunkedCSR, scores: jax.Array) -> jax.Array:
                    jnp.exp(flat_scores - mx[flat_dst]), 0.0)
     den = jax.ops.segment_sum(ex, flat_dst, num_segments=c.n_rows)
     alpha = ex / jnp.maximum(den, 1e-16)[flat_dst]
-    return alpha.reshape(c.n_chunk, c.eb)
+    return alpha.reshape(c.n_chunk_meta, c.eb)

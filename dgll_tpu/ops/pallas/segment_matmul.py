@@ -94,7 +94,8 @@ def spmm_chunked_pallas(
         bias = jnp.zeros((f,), msg.dtype)
     if weights is None:
         weights = c.weight
-    assert weights.shape == (c.n_chunk, c.eb), weights.shape
+    # weights ride the metadata layout (sublane-padded rows; grid reads < n_chunk)
+    assert weights.shape == (c.n_chunk_meta, c.eb), weights.shape
 
     grid = (f // ft, c.n_chunk)
     kernel = functools.partial(
@@ -128,7 +129,9 @@ def spmm_chunked_pallas(
 
 
 def _gather_msg(c: ChunkedCSR, x: jax.Array) -> jax.Array:
-    return jnp.take(x, c.src.reshape(-1), axis=0)
+    # only the compute chunks (odd count -> gather row count ≢ 0 mod 1024, the
+    # fast XLA gather path); trailing metadata pad chunks are never read
+    return jnp.take(x, c.src[: c.n_chunk].reshape(-1), axis=0)
 
 
 def zero_cotangent(tree):

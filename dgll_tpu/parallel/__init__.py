@@ -28,10 +28,14 @@ from dgll_tpu.parallel.gp import (
     make_sharded_spmm,
     shard_partitioned_graph,
 )
+from dgll_tpu.parallel.launch import initialize_distributed, is_primary, launch_local
 from dgll_tpu.parallel.mesh import make_mesh, replicated, sharded_dim0
 from dgll_tpu.parallel.partition import PartitionedGraph, partition_graph
 
 __all__ = [
+    "initialize_distributed",
+    "is_primary",
+    "launch_local",
     "run_cog",
     "detect_communities",
     "merge_groups",

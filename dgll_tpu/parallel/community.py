@@ -30,29 +30,45 @@ from dgll_tpu.graph import Graph
 
 
 def detect_communities(g: Graph, max_iters: int = 20, seed: int = 0) -> np.ndarray:
-    """Asynchronous label propagation over the (real) edges -> community id per node."""
+    """Label propagation over the (real) edges -> community id per node.
+
+    Hot path is the multithreaded C++ async LP (``csrc/graph_kernels.cpp``,
+    ``dgll_label_propagation`` — the role of igraph/leidenalg in the reference,
+    ``cog.py:218-228``); the fallback is a fully vectorised numpy half-sweep LP
+    (no per-node Python loop), so reference-scale graphs stay seconds, not hours.
+    """
+    from dgll_tpu import native
+
     n = g.n_real_node
-    indptr = np.asarray(g.indptr)[: n + 1].copy()
+    indptr = np.asarray(g.indptr)[: n + 1].astype(np.int64).copy()
     indptr[-1] = min(indptr[-1], g.n_real_edge)
-    nbrs = np.asarray(g.src)[: g.n_real_edge]
+    nbrs = np.asarray(g.src)[: g.n_real_edge].astype(np.int64)
     labels = np.arange(n, dtype=np.int64)
-    rng = np.random.default_rng(seed)
-    order = np.arange(n)
-    for _ in range(max_iters):
-        rng.shuffle(order)
-        changed = 0
-        for v in order:
-            row = nbrs[indptr[v] : indptr[v + 1]]
-            if row.size == 0:
-                continue
-            lab, cnt = np.unique(labels[row], return_counts=True)
-            best = lab[np.argmax(cnt)]
-            if best != labels[v]:
-                labels[v] = best
-                changed += 1
-        if changed == 0:
-            break
-    # compress ids
+
+    if not native.label_propagation_native(indptr, nbrs, n, max_iters, labels):
+        # numpy fallback: synchronous mode-per-node via one lexsort per sweep;
+        # only half the nodes update per sweep (random parity) to kill the
+        # two-coloring oscillation synchronous LP is prone to.
+        rng = np.random.default_rng(seed)
+        dst = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        for it in range(2 * max_iters):
+            lab = labels[nbrs]
+            key = dst * (n + 1) + lab
+            uniq, cnt = np.unique(key, return_counts=True)
+            du, lu = uniq // (n + 1), uniq % (n + 1)
+            order = np.lexsort((lu, -cnt, du))
+            du_s, lu_s = du[order], lu[order]
+            first = np.searchsorted(du_s, np.arange(n))
+            has = first < len(du_s)
+            safe = np.minimum(first, max(len(du_s) - 1, 0))
+            valid = has & (du_s[safe] == np.arange(n))
+            best = np.where(valid, lu_s[safe], labels)
+            upd = rng.random(n) < 0.5
+            new = np.where(upd, best, labels)
+            if (new == labels).all():
+                labels = new
+                break
+            labels = new
     _, comp = np.unique(labels, return_inverse=True)
     return comp
 
@@ -66,20 +82,29 @@ def max_community_size(
 
 
 def merge_groups(part_of: np.ndarray, min_size: int) -> np.ndarray:
-    """Greedily merge communities smaller than ``min_size`` (``merge_groups:64-77``)."""
-    part_of = part_of.copy()
-    while True:
-        ids, sizes = np.unique(part_of, return_counts=True)
-        small = ids[sizes < min_size]
-        if small.size == 0 or ids.size == 1:
-            break
-        order = np.argsort(sizes)
-        sorted_ids = ids[order]
-        # merge the smallest into the next-smallest (repeat until all >= min_size)
-        a = sorted_ids[0]
-        b = sorted_ids[1]
-        part_of[part_of == a] = b
-    _, comp = np.unique(part_of, return_inverse=True)
+    """Merge communities smaller than ``min_size`` (``merge_groups:64-77``).
+
+    Vectorised greedy binning: communities sorted by ascending size are packed
+    into bins of prefix-sum width ``min_size`` (one O(C log C) pass instead of the
+    old one-merge-per-scan O(C^2·n) loop); an undersized trailing bin merges into
+    its predecessor."""
+    ids, sizes = np.unique(part_of, return_counts=True)
+    if len(ids) <= 1:
+        _, comp = np.unique(part_of, return_inverse=True)
+        return comp
+    order = np.argsort(sizes, kind="stable")
+    prefix = np.cumsum(sizes[order]) - sizes[order]
+    gid_sorted = prefix // max(min_size, 1)
+    # trailing bin may be undersized: fold it into the previous bin
+    last = gid_sorted[-1]
+    if last > 0:
+        tail = gid_sorted == last
+        if sizes[order][tail].sum() < min_size:
+            gid_sorted[tail] = last - 1
+    gid = np.empty(len(ids), np.int64)
+    gid[order] = gid_sorted
+    part = gid[np.searchsorted(ids, part_of)]
+    _, comp = np.unique(part, return_inverse=True)
     return comp
 
 

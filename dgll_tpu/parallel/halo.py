@@ -37,47 +37,46 @@ class HaloPlan:
 
 
 def build_halo_plan(pg: PartitionedGraph, halo_multiple: int = 8) -> HaloPlan:
-    """Host-side halo planning from the partitioned edge lists."""
-    D, rows = pg.n_shard, pg.rows_per_shard
-    src = np.asarray(pg.src)          # [D, e_shard] global ids
-    w = np.asarray(pg.edge_weight)
+    """Host-side halo planning from the partitioned edge lists.
 
-    # per (p, q): unique remote sources p needs from q
-    reqs = [[None] * D for _ in range(D)]
+    Fully vectorised (no per-edge Python): per requester p, remote needs are the
+    unique off-shard sources; slot assignment goes through an O(n_node) id->slot
+    table instead of a dict, so planning a 100M-edge graph takes seconds.
+    """
+    D, rows = pg.n_shard, pg.rows_per_shard
+    src = np.asarray(pg.src).astype(np.int64)   # [D, e_shard] global ids
+    w = np.asarray(pg.edge_weight)
+    n_node = D * rows
+
+    # per requester p: sorted unique remote sources, already grouped by owner
+    # (ids are contiguous per owner, so unique() output is owner-sorted for free)
+    needs = []
     H = 1
     for p in range(D):
         sp = src[p]
-        owner = sp // rows
-        for q in range(D):
-            if q == p:
-                reqs[p][q] = np.zeros(0, np.int64)
-                continue
-            need = np.unique(sp[(owner == q) & (w[p] != 0)])
-            reqs[p][q] = need
-            H = max(H, len(need))
+        need = np.unique(sp[(sp // rows != p) & (w[p] != 0)])
+        needs.append(need)
+        if len(need):
+            H = max(H, int(np.bincount(need // rows, minlength=D).max()))
     H = ((H + halo_multiple - 1) // halo_multiple) * halo_multiple
 
     send_ids = np.zeros((D, D, H), np.int32)     # [owner q, requester p]
     send_mask = np.zeros((D, D, H), bool)
-    pos = {}  # (p, global id) -> halo slot index within p's recv buffer
-    for p in range(D):
-        for q in range(D):
-            need = reqs[p][q]
-            send_ids[q, p, : len(need)] = need - q * rows  # local rows at owner
-            send_mask[q, p, : len(need)] = True
-            for j, s in enumerate(need):
-                pos[(p, int(s))] = q * H + j
-
+    slot_of = np.zeros(n_node, np.int64)         # per-p id -> halo slot (reused)
     src_remap = np.zeros((D, src.shape[1]), np.int32)
     for p in range(D):
+        need = needs[p]
+        owner = need // rows
+        # rank within owner group (need is sorted, so groups are runs)
+        starts = np.searchsorted(owner, np.arange(D))
+        within = np.arange(len(need), dtype=np.int64) - starts[owner]
+        send_ids[owner, p, within] = (need - owner * rows).astype(np.int32)
+        send_mask[owner, p, within] = True
+        slot_of[need] = owner * H + within
         sp = src[p]
-        owner = sp // rows
-        local = owner == p
-        src_remap[p] = np.where(
-            local,
-            sp - p * rows,
-            rows + np.array([pos.get((p, int(s)), 0) for s in sp], np.int64),
-        )
+        local = (sp // rows) == p
+        src_remap[p] = np.where(local, sp - p * rows, rows + slot_of[sp])
+        slot_of[need] = 0  # reset touched entries for the next requester
     return HaloPlan(
         send_ids=jnp.asarray(send_ids),
         send_mask=jnp.asarray(send_mask),

@@ -111,14 +111,14 @@ def partition_graph(
         raise ValueError(f"unknown strategy {strategy!r}")
 
     # relabel: nodes of part 0 first, etc.; pad each part to equal rows
+    # (vectorised: new id = part * rows + rank within part, stable order)
     rows = -(-n // n_parts)
-    new_id = np.full(n, -1, np.int64)
-    counts = np.zeros(n_parts, np.int64)
     order = np.argsort(part_of, kind="stable")
-    for v in order:
-        p = part_of[v]
-        new_id[v] = p * rows + counts[p]
-        counts[p] += 1
+    sorted_parts = part_of[order].astype(np.int64)
+    starts = np.searchsorted(sorted_parts, np.arange(n_parts))
+    within = np.arange(n, dtype=np.int64) - starts[sorted_parts]
+    new_id = np.empty(n, np.int64)
+    new_id[order] = sorted_parts * rows + within
 
     src = new_id[np.asarray(g.src)[: g.n_real_edge]]
     dst = new_id[np.asarray(g.dst)[: g.n_real_edge]]
@@ -128,21 +128,30 @@ def partition_graph(
         else np.ones(g.n_real_edge, np.float32)
     )
 
-    shard = dst // rows
-    e_shard = 0
-    per_shard = []
-    for p in range(n_parts):
-        m = shard == p
-        per_shard.append((src[m], dst[m] - p * rows, w[m]))
-        e_shard = max(e_shard, int(m.sum()))
+    counts = np.bincount(dst // rows, minlength=n_parts)
+    e_shard = int(counts.max()) if len(counts) else 0
     e_shard = ((e_shard + edge_multiple - 1) // edge_multiple) * edge_multiple
 
-    S = np.zeros((n_parts, e_shard), np.int32)
-    D = np.zeros((n_parts, e_shard), np.int32)
-    W = np.zeros((n_parts, e_shard), np.float32)
-    for p, (s_, d_, w_) in enumerate(per_shard):
-        k = len(s_)
-        S[p, :k], D[p, :k], W[p, :k] = s_, d_, w_
+    from dgll_tpu import native
+
+    packed = native.partition_pack(src, dst, w, rows, n_parts, e_shard)
+    if packed is not None:
+        S, D, W = packed
+    else:
+        # numpy fallback: counting sort by shard, then one flat scatter
+        shard = dst // rows
+        within = np.empty(len(shard), np.int64)
+        for p in range(n_parts):
+            m = shard == p
+            within[m] = np.arange(int(counts[p]), dtype=np.int64)
+        flat = shard * e_shard + within
+        S = np.zeros(n_parts * e_shard, np.int32)
+        D = np.zeros(n_parts * e_shard, np.int32)
+        W = np.zeros(n_parts * e_shard, np.float32)
+        S[flat] = src
+        D[flat] = dst - shard * rows
+        W[flat] = w
+        S, D, W = (a.reshape(n_parts, e_shard) for a in (S, D, W))
 
     def _reorder(x):
         if x is None:

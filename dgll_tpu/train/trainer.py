@@ -183,21 +183,41 @@ class MiniBatchTrainer:
         """One epoch over the loader. ``features``/``labels`` are full [N, d]/[N] arrays
         (device-resident); per-batch gathers happen on device from block ids.
         ``fetch_fn(src_ids) -> [n_src, d]`` overrides the feature gather (e.g. an
-        ``HBMFeatureCache.fetch`` serving hits from HBM and misses from the host)."""
+        ``HBMFeatureCache.fetch`` serving hits from HBM and misses from the host).
+        Cache fetches are pipelined one batch ahead on a worker thread, so the host
+        gather of batch k+1 overlaps the device step of batch k (the TPU form of
+        the reference's non_blocking H2D streams, ``storage.py:151-198``)."""
         features, labels = jax.tree.map(jnp.asarray, (features, labels))
         total, nb = 0.0, 0
         t0 = time.perf_counter()
-        for inp, out, blocks in loader:
-            if fetch_fn is None:
+        if fetch_fn is None:
+            for inp, out, blocks in loader:
                 x = jnp.take(features, blocks[0].src_ids, axis=0)
-            else:
-                x = fetch_fn(blocks[0].src_ids)
-            y = jnp.take(labels, blocks[-1].dst_ids, axis=0)
-            mask = blocks[-1].dst_mask
-            self.rng, drng = jax.random.split(self.rng)
-            state, loss = self.step(state, tuple(blocks), x, y, mask, drng)
-            total += float(loss)
-            nb += 1
+                y = jnp.take(labels, blocks[-1].dst_ids, axis=0)
+                self.rng, drng = jax.random.split(self.rng)
+                state, loss = self.step(state, tuple(blocks), x, y,
+                                        blocks[-1].dst_mask, drng)
+                total += float(loss)
+                nb += 1
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(1) as ex:
+                it = iter(loader)
+                cur = next(it, None)
+                fut = None if cur is None else ex.submit(fetch_fn, cur[2][0].src_ids)
+                while cur is not None:
+                    inp, out, blocks = cur
+                    x = fut.result()
+                    cur = next(it, None)
+                    if cur is not None:
+                        fut = ex.submit(fetch_fn, cur[2][0].src_ids)
+                    y = jnp.take(labels, blocks[-1].dst_ids, axis=0)
+                    self.rng, drng = jax.random.split(self.rng)
+                    state, loss = self.step(state, tuple(blocks), x, y,
+                                            blocks[-1].dst_mask, drng)
+                    total += float(loss)
+                    nb += 1
         return state, total / max(nb, 1), time.perf_counter() - t0
 
     def evaluate_nodes(self, state, loader, features, labels,

@@ -30,22 +30,30 @@ def setup():
 
 
 def _flat_valid(c):
-    return np.asarray(c.weight).reshape(-1) != 0
+    # compute-grid level: first n_chunk metadata rows (the rest sit outside the grid)
+    return np.asarray(c.weight)[: c.n_chunk].reshape(-1) != 0
 
 
 def _edge_dst(c):
-    return (np.asarray(c.row_block)[:, None] * R_BLOCK + np.asarray(c.dst_local)).reshape(-1)
+    nc = c.n_chunk
+    return (np.asarray(c.row_block)[:nc, None] * R_BLOCK
+            + np.asarray(c.dst_local)[:nc]).reshape(-1)
 
 
 def _edge_src(c):
-    return np.asarray(c.src).reshape(-1)
+    return np.asarray(c.src)[: c.n_chunk].reshape(-1)
+
+
+def _crop(c, arr2d):
+    """Metadata-level [n_chunk_meta, EB] array -> flat compute-grid view."""
+    return np.asarray(arr2d)[: c.n_chunk].reshape(-1)
 
 
 def test_sddmm_matches_reference(setup):
     src, dst, c, ct, a, x, n = setup
-    msg = jnp.take(x, c.src.reshape(-1), axis=0)
-    e_pal = np.asarray(sddmm_chunked_pallas(c, a, msg, interpret=True)).reshape(-1)
-    e_xla = np.asarray(sddmm_chunked_xla(c, a, msg)).reshape(-1)
+    msg = jnp.take(x, c.src[: c.n_chunk].reshape(-1), axis=0)
+    e_pal = _crop(c, sddmm_chunked_pallas(c, a, msg, interpret=True))
+    e_xla = _crop(c, sddmm_chunked_xla(c, a, msg))
     v = _flat_valid(c)
     np.testing.assert_allclose(e_pal[v], e_xla[v], rtol=1e-4, atol=1e-4)
     # against the COO sddmm on real edges
@@ -65,11 +73,11 @@ def test_expand_rows(setup):
 def test_edge_softmax_matches_segment_softmax(setup):
     src, dst, c, ct, a, x, n = setup
     rng = np.random.default_rng(1)
-    scores = rng.normal(size=(c.n_chunk, c.eb)).astype(np.float32)
-    alpha = np.asarray(edge_softmax_chunked(c, jnp.asarray(scores))).reshape(-1)
+    scores = rng.normal(size=(c.n_chunk_meta, c.eb)).astype(np.float32)
+    alpha = _crop(c, edge_softmax_chunked(c, jnp.asarray(scores)))
     v = _flat_valid(c)
     ref = np.asarray(
-        segment_softmax(jnp.asarray(scores.reshape(-1)[v]),
+        segment_softmax(jnp.asarray(scores[: c.n_chunk].reshape(-1)[v]),
                         jnp.asarray(_edge_dst(c)[v]), c.n_rows)
     )
     np.testing.assert_allclose(alpha[v], ref, rtol=1e-4, atol=1e-5)
@@ -81,16 +89,17 @@ def test_spmm_dyn_vjp(setup):
     rng = np.random.default_rng(2)
     w = jnp.asarray(
         np.where(np.asarray(c.weight) != 0,
-                 rng.normal(size=(c.n_chunk, c.eb)), 0.0).astype(np.float32)
+                 rng.normal(size=(c.n_chunk_meta, c.eb)), 0.0).astype(np.float32)
     )
-    msg = jnp.take(x, c.src.reshape(-1), axis=0)
+    msg = jnp.take(x, c.src[: c.n_chunk].reshape(-1), axis=0)
 
     def pal(msg_, w_):
         return jnp.sum(spmm_dyn(c, ct, msg_, w_, True) ** 2)
 
     def ref(msg_, w_):
         out = jax.ops.segment_sum(
-            msg_ * w_.reshape(-1, 1), jnp.asarray(_edge_dst(c)), num_segments=c.n_rows
+            msg_ * w_[: c.n_chunk].reshape(-1, 1), jnp.asarray(_edge_dst(c)),
+            num_segments=c.n_rows,
         )
         return jnp.sum(out ** 2)
 
@@ -99,17 +108,17 @@ def test_spmm_dyn_vjp(setup):
     gm_r, gw_r = jax.grad(ref, argnums=(0, 1))(msg, w)
     v = _flat_valid(c)
     np.testing.assert_allclose(np.asarray(gm_p), np.asarray(gm_r), rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(gw_p).reshape(-1)[v],
-                               np.asarray(gw_r).reshape(-1)[v], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(_crop(c, gw_p)[v], _crop(c, gw_r)[v],
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_sddmm_vjp(setup):
     src, dst, c, ct, a, x, n = setup
-    msg = jnp.take(x, c.src.reshape(-1), axis=0)
+    msg = jnp.take(x, c.src[: c.n_chunk].reshape(-1), axis=0)
     vmask = jnp.asarray((_flat_valid(c)).astype(np.float32))
 
     def pal(a_, msg_):
-        e = sddmm(c, ct, a_, msg_, True).reshape(-1) * vmask
+        e = sddmm(c, ct, a_, msg_, True)[: c.n_chunk].reshape(-1) * vmask
         return jnp.sum(jnp.sin(e))
 
     def ref(a_, msg_):

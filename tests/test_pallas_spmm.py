@@ -58,7 +58,7 @@ def test_xla_reference_matches_dense(coo):
 def test_pallas_kernel_matches_dense(coo):
     src, dst, w, x, n = coo
     c = build_chunked(src, dst, n, n, w, eb=256)
-    msg = jnp.take(jnp.asarray(x), c.src.reshape(-1), axis=0)
+    msg = jnp.take(jnp.asarray(x), c.src[: c.n_chunk].reshape(-1), axis=0)
     out = spmm_chunked_pallas(c, msg, interpret=True)
     np.testing.assert_allclose(
         np.asarray(out)[:n], dense_expect(src, dst, w, x, n), rtol=1e-3, atol=1e-3
@@ -69,7 +69,7 @@ def test_pallas_fused_bias_relu(coo):
     src, dst, w, x, n = coo
     c = build_chunked(src, dst, n, n, w, eb=256)
     bias = np.linspace(-1, 1, x.shape[1]).astype(np.float32)
-    msg = jnp.take(jnp.asarray(x), c.src.reshape(-1), axis=0)
+    msg = jnp.take(jnp.asarray(x), c.src[: c.n_chunk].reshape(-1), axis=0)
     out = spmm_chunked_pallas(c, msg, jnp.asarray(bias), activation="relu",
                               interpret=True)
     expect = np.maximum(dense_expect(src, dst, w, x, n) + bias, 0.0)
@@ -108,7 +108,7 @@ def test_rectangular_block(coo):
     w = rng.normal(size=e).astype(np.float32)
     x = rng.normal(size=(cols, d)).astype(np.float32)
     c = build_chunked(src, dst, rows, cols, w, eb=128)
-    msg = jnp.take(jnp.asarray(x), c.src.reshape(-1), axis=0)
+    msg = jnp.take(jnp.asarray(x), c.src[: c.n_chunk].reshape(-1), axis=0)
     out = spmm_chunked_pallas(c, msg, interpret=True)
     A = np.zeros((rows, cols), np.float32)
     np.add.at(A, (dst, src), w)

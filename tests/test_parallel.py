@@ -183,3 +183,98 @@ def test_halo_spmm_grad_flows(g):
 
     gr = jax.grad(ref_loss)(jnp.asarray(pg.node_feat))
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gr), rtol=1e-3, atol=1e-4)
+
+
+def test_async_dp_step_matches_sync_with_one_step_lag(g):
+    """RaCoM parity (VERDICT r1 #6): the async step applies step k-1's gradients at
+    step k, so feeding it the SAME batch repeatedly must reproduce the sync step's
+    parameter trajectory shifted by exactly one step (staleness bound == 1)."""
+    from dgll_tpu.parallel.dp import make_async_dp_block_step
+
+    mesh = make_mesh(("data",))
+    D = mesh.devices.size
+    sampler = NeighborSampler([4, 4], seed=0)
+    hg = HostGraph.from_graph(g)
+    loader = ShardedDataLoader(hg, np.arange(g.n_real_node), sampler, per_device_batch=8,
+                               n_shard=D, seed=0)
+    model = GraphSAGE(hidden=16, n_class=4, dropout=0.0)
+
+    def model_apply(params, blocks, x, rng):
+        return model.apply({"params": params}, blocks, x, deterministic=True)
+
+    outs, blocks = next(iter(loader))
+    local_blocks = jax.tree.map(lambda a: a[0], blocks,
+                                is_leaf=lambda a: isinstance(a, jax.Array))
+    x0 = jnp.take(g.node_feat, local_blocks[0].src_ids, axis=0)
+    params0 = model.init(jax.random.key(0), local_blocks, x0)["params"]
+    tx = optax.sgd(1e-2)  # stateless-ish optimizer makes the shift exact
+
+    x = jnp.stack([jnp.take(g.node_feat, blocks[0].src_ids[d], axis=0) for d in range(D)])
+    y = jnp.stack([jnp.take(g.labels, blocks[-1].dst_ids[d], axis=0) for d in range(D)])
+    m = blocks[-1].dst_mask
+    rng = jax.random.key(1)
+
+    sync_step = make_dp_block_step(mesh, model_apply, tx)
+    p_sync = jax.tree.map(jnp.copy, params0)
+    s_sync = tx.init(p_sync)
+    sync_losses = []
+    for k in range(4):
+        p_sync, s_sync, loss = sync_step(p_sync, s_sync, blocks, x, y, m, rng)
+        sync_losses.append(float(loss))
+
+    async_step, init_grads = make_async_dp_block_step(mesh, model_apply, tx)
+    p_async = jax.tree.map(jnp.copy, params0)
+    s_async = tx.init(p_async)
+    grads = init_grads(p_async)
+    async_losses = []
+    for k in range(5):
+        p_async, s_async, grads, loss = async_step(p_async, s_async, grads, blocks,
+                                                   x, y, m, rng)
+        async_losses.append(float(loss))
+
+    # With the SAME batch every step the async schedule is exactly the sync
+    # trajectory: prev_grads at step k is g(p_k) for the identical batch, so
+    # p_{k+1} matches and the staleness is invisible — the strongest possible
+    # parity check (any off-by-one in the gradient plumbing breaks it).
+    np.testing.assert_allclose(async_losses[:4], sync_losses, rtol=1e-4, atol=1e-5)
+    # and staleness is bounded at 1: the loss at step k is evaluated on params
+    # that have absorbed exactly k-1 gradient applications
+    assert async_losses[0] == sync_losses[0]
+
+
+def test_async_dp_learns_on_fresh_batches(g):
+    from dgll_tpu.parallel.dp import make_async_dp_block_step
+
+    mesh = make_mesh(("data",))
+    D = mesh.devices.size
+    sampler = NeighborSampler([4, 4], seed=0)
+    hg = HostGraph.from_graph(g)
+    loader = ShardedDataLoader(hg, np.arange(g.n_real_node), sampler, per_device_batch=8,
+                               n_shard=D, seed=0)
+    model = GraphSAGE(hidden=16, n_class=4, dropout=0.0)
+
+    def model_apply(params, blocks, x, rng):
+        return model.apply({"params": params}, blocks, x, deterministic=True)
+
+    outs, blocks = next(iter(loader))
+    local_blocks = jax.tree.map(lambda a: a[0], blocks,
+                                is_leaf=lambda a: isinstance(a, jax.Array))
+    x0 = jnp.take(g.node_feat, local_blocks[0].src_ids, axis=0)
+    params = model.init(jax.random.key(0), local_blocks, x0)["params"]
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    step, init_grads = make_async_dp_block_step(mesh, model_apply, tx)
+    grads = init_grads(params)
+
+    losses = []
+    for epoch in range(6):
+        for outs, blocks in loader:
+            x = jnp.stack([jnp.take(g.node_feat, blocks[0].src_ids[d], axis=0)
+                           for d in range(D)])
+            y = jnp.stack([jnp.take(g.labels, blocks[-1].dst_ids[d], axis=0)
+                           for d in range(D)])
+            m = blocks[-1].dst_mask
+            params, opt_state, grads, loss = step(params, opt_state, grads, blocks,
+                                                  x, y, m, jax.random.key(epoch))
+            losses.append(float(loss))
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
