@@ -1,0 +1,114 @@
+"""Cached-vs-uncached feature serving A/B (reference: FeatureCache's DGL-baseline
+comparison scripts, ``FeatureCache/README.md:21-27`` + ``dgl_gcn.py``/``dgl_pure.py``).
+
+Scenario: the feature matrix lives in the HOST store (too big for HBM); minibatch
+training fetches per-batch rows. Compares epoch time and miss rate across cache
+fractions (0% = every row from the host, 100% = all hits) plus the device-resident
+ideal (features already in HBM, plain device gather).
+
+Run on the TPU: ``python benchmarks/cache_bench.py``; env: CB_NODES, CB_DIM, CB_OUT.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dgll_tpu.cache import HBMFeatureCache
+    from dgll_tpu.nn import GraphSAGE
+    from dgll_tpu.sampling import HostGraph, NeighborSampler
+    from dgll_tpu.train import MiniBatchTrainer
+
+    n_node = int(os.environ.get("CB_NODES", 200_000))
+    feat_dim = int(os.environ.get("CB_DIM", 256))
+    out_path = os.environ.get("CB_OUT", "")
+    avg_deg, batch, fanouts, n_class = 12, 1024, [10, 5], 32
+    n_batches = 12
+
+    rng = np.random.default_rng(0)
+    n_edge = n_node * avg_deg
+    w = (np.arange(n_node, dtype=np.float64) + 1.0) ** (-1.0)
+    cdf = np.cumsum(w); cdf /= cdf[-1]
+    dst = np.sort(np.searchsorted(cdf, rng.random(n_edge)).astype(np.int64))
+    src = rng.integers(0, n_node, n_edge)
+    indptr = np.zeros(n_node + 1, np.int64)
+    np.add.at(indptr, dst + 1, 1)
+    indptr = np.cumsum(indptr)
+    hg = HostGraph(indptr, src, n_node)
+    host_feats = rng.standard_normal((n_node, feat_dim), dtype=np.float32)
+    labels = jnp.asarray(rng.integers(0, n_class, n_node).astype(np.int32))
+    out_degree = np.bincount(src, minlength=n_node)
+
+    sampler = NeighborSampler(fanouts, seed=0)
+    pool = []
+    for _ in range(n_batches):
+        seeds = rng.integers(0, n_node, batch)
+        _, _, blocks = sampler.sample(hg, seeds, pad_to=batch)
+        pool.append(tuple(blocks))
+
+    model = GraphSAGE(hidden=256, n_class=n_class, dropout=0.0)
+    tr = MiniBatchTrainer(model, optax.adam(1e-3))
+    x0 = jnp.asarray(host_feats[np.asarray(pool[0][0].src_ids)])
+    state0 = tr.init_state(list(pool[0]), x0)
+    key = jax.random.key(0)
+
+    def epoch_time(fetch, reps=3):
+        nonlocal state0
+        state = state0
+        # warm/compile
+        b = pool[0]
+        y = jnp.take(labels, b[-1].dst_ids, axis=0)
+        state, loss = tr.step(state, b, fetch(b[0].src_ids), y, b[-1].dst_mask, key)
+        jax.block_until_ready(loss)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for b in pool:
+                x = fetch(b[0].src_ids)
+                y = jnp.take(labels, b[-1].dst_ids, axis=0)
+                state, loss = tr.step(state, b, x, y, b[-1].dst_mask, key)
+            float(loss)
+            best = min(best, time.perf_counter() - t0)
+        return best / n_batches * 1e3  # ms per batch
+
+    results = {"device": str(jax.devices()[0]), "n_node": n_node,
+               "feat_dim": feat_dim, "batch": batch, "fanouts": fanouts}
+
+    # device-resident ideal
+    feats_dev = jnp.asarray(host_feats)
+    results["device_resident_ms"] = round(
+        epoch_time(lambda ids: jnp.take(feats_dev, jnp.asarray(ids), axis=0)), 3)
+    del feats_dev
+
+    for frac in (0.0, 0.25, 1.0):
+        cache = HBMFeatureCache(host_feats)
+        if frac > 0:
+            k = int(frac * n_node)
+            cache.fill(np.argpartition(-out_degree, k - 1)[:k])
+        cache.reset_counters()
+        ms = epoch_time(lambda ids: cache.fetch(np.asarray(ids)))
+        rate, lookups, misses = cache.miss_rate()
+        results[f"cache_{int(frac*100)}pct"] = {
+            "ms_per_batch": round(ms, 3),
+            "miss_rate": round(rate, 4),
+            "lookups": int(lookups),
+        }
+        print(f"cache {frac:4.0%}: {ms:8.2f} ms/batch  miss={rate:.2%}", flush=True)
+
+    print(json.dumps(results))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,7 @@ class HBMFeatureCache:
         node_ids = np.asarray(node_ids, np.int64)
         self.lookups += len(node_ids)
         if self.cache is None:
+            self.misses += len(node_ids)  # no cache: every row comes from the host
             return jnp.asarray(self.host[node_ids])
 
         pos = self.cache_pos[node_ids]

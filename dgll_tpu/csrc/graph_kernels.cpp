@@ -219,6 +219,14 @@ void dgll_node2vec_walks(const int64_t* indptr, const int64_t* nbrs_sorted,
     });
 }
 
+// Parallel id remap: out[i] = map[idx[i]] (the relabeling gathers dominate
+// partition/COG at 100M edges on few-core hosts; numpy does them single-threaded).
+void dgll_remap(const int64_t* map, const int64_t* idx, int64_t e, int64_t* out) {
+    parallel_for(e, 1 << 21, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) out[i] = map[idx[i]];
+    });
+}
+
 // Fused CSR build + permutation apply: like dgll_build_csr, but the scatter pass
 // writes the permuted src/dst/weight directly (int32 outputs), skipping the
 // numpy fancy-gather passes that dominate at 100M edges on few-core hosts.

@@ -64,6 +64,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         i32p = ctypes.POINTER(ctypes.c_int32)
         f32p = ctypes.POINTER(ctypes.c_float)
+        lib.dgll_remap.argtypes = [i64p, i64p, ctypes.c_int64, i64p]
         lib.dgll_build_csr_apply.argtypes = [
             i64p, i64p, f32p, ctypes.c_int64, ctypes.c_int64, i64p, i32p, i32p, f32p,
         ]
@@ -172,6 +173,18 @@ def _np_walks(indptr, nbrs, starts, L, seed):
         cur = np.where(deg > 0, nxt, cur)
         walks[:, t] = cur
     return walks
+
+
+def remap(mapping: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """out[i] = mapping[idx[i]], multithreaded (falls back to numpy fancy indexing)."""
+    lib = get_lib()
+    if lib is None:
+        return np.asarray(mapping, np.int64)[np.asarray(idx, np.int64)]
+    mapping = np.ascontiguousarray(mapping, np.int64)
+    idx = np.ascontiguousarray(idx, np.int64)
+    out = np.empty(len(idx), np.int64)
+    lib.dgll_remap(_p64(mapping), _p64(idx), len(idx), _p64(out))
+    return out
 
 
 def build_csr_apply(dst, src, w, n_node: int):

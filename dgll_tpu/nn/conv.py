@@ -114,11 +114,12 @@ class GATConv(nn.Module):
         a_dst = self.param("attn_dst", nn.initializers.glorot_uniform(), (H, F), jnp.float32)
 
         # compiled sparse path: full graph carrying a chunked layout, MXU-tileable
-        # head width, no attention dropout (kernel computes softmax internally)
+        # TOTAL width H*F (one premultiplied-message kernel launch covers all
+        # heads), no attention dropout (softmax happens before the kernel)
         c = getattr(g, "chunked", None)
         if (
             c is not None
-            and F % 128 == 0
+            and (H * F) % 128 == 0
             and c.n_rows >= n_dst
             and (self.attn_dropout == 0.0 or deterministic)
         ):

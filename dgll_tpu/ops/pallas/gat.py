@@ -15,11 +15,44 @@ import jax.numpy as jnp
 
 from dgll_tpu.ops.chunked import R_BLOCK, ChunkedCSR
 from dgll_tpu.ops.pallas.expand_rows import expand_rows_chunked
-from dgll_tpu.ops.pallas.sddmm import edge_softmax_chunked, sddmm_chunked_pallas
-from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked_pallas
+from dgll_tpu.ops.pallas.sddmm import (
+    edge_softmax_chunked,
+    edge_softmax_chunked_heads,
+    sddmm_chunked_pallas,
+)
+from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked_pallas, zero_cotangent
 
 
-from dgll_tpu.ops.pallas.segment_matmul import zero_cotangent
+def _valid01(c: ChunkedCSR):
+    return (c.weight != 0).astype(jnp.float32)
+
+
+# -------------------------------------------------- spmm over premultiplied msgs
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_msg(interpret, c: ChunkedCSR, ct: ChunkedCSR, msg):
+    return spmm_chunked_pallas(c, msg, weights=_valid01(c), interpret=interpret)
+
+
+def _spmm_msg_fwd(interpret, c, ct, msg):
+    proto = jnp.zeros((0,), msg.dtype)  # dtype carrier (residuals must be arrays)
+    return _spmm_msg(interpret, c, ct, msg), (c, ct, proto)
+
+
+def _spmm_msg_bwd(interpret, res, g):
+    c, ct, proto = res
+    dmsg = expand_rows_chunked(c, g.astype(proto.dtype), interpret=interpret)
+    dmsg = dmsg * _valid01(c)[: c.n_chunk].reshape(-1, 1).astype(proto.dtype)
+    return zero_cotangent(c), zero_cotangent(ct), dmsg
+
+
+_spmm_msg.defvjp(_spmm_msg_fwd, _spmm_msg_bwd)
+
+
+def spmm_msg(c: ChunkedCSR, ct: ChunkedCSR, msg, interpret=False):
+    """out[i] = sum_{slots k with dst_k = i} msg_k — unit-weight scatter for messages
+    already premultiplied by attention/edge weights (differentiable in msg; the VJP
+    is one expand-rows launch, no sddmm)."""
+    return _spmm_msg(interpret, c, ct, msg)
 
 
 # ---------------------------------------------------------- spmm w/ dyn weights
@@ -121,24 +154,29 @@ def gat_attention_chunked_multihead(
 ) -> jax.Array:
     """Multi-head sparse GAT: ``h [n_rows, H*F]``, ``a_src``/``a_dst`` [H, F].
 
-    Source rows are gathered ONCE at full width H*F; scores/softmax/aggregation run
-    per head on feature slices (static python loop — one compile). Returns
+    ONE gather, ONE softmax (all heads batched through the segment ops), ONE
+    kernel launch: per-edge attention premultiplies the gathered messages
+    (``msg * alpha`` head-wise on the VPU, fused by XLA), so aggregation is a
+    single unit-weight chunked scatter at the full H*F width. The MXU-tileability
+    condition is therefore ``(H*F) % 128 == 0`` — reachable for reference-style
+    many-small-head configs — instead of per-head ``F % 128 == 0``. Returns
     ``[n_rows, H, F]`` (concat or mean at the call site).
     """
     n_heads, f = a_src.shape
     nc, nm = c.n_chunk, c.n_chunk_meta
-    msg = jnp.take(h, c.src[:nc].reshape(-1), axis=0)     # [E, H*F] one gather
+    e_rows = nc * c.eb
+    msg = jnp.take(h, c.src[:nc].reshape(-1), axis=0)      # [E, H*F] one gather
     dst_global = (c.row_block[:, None] * R_BLOCK + c.dst_local).reshape(-1)
-    outs = []
-    for hd in range(n_heads):
-        sl = slice(hd * f, (hd + 1) * f)
-        msg_h = msg[:, sl]
-        sc_src = msg_h @ a_src[hd].astype(msg.dtype)
-        sc_src = jnp.pad(sc_src, (0, (nm - nc) * c.eb))
-        s_dst = h[:, sl] @ a_dst[hd].astype(h.dtype)
-        sc_dst = jnp.take(s_dst, dst_global)
-        e = sc_src + sc_dst
-        e = jnp.where(e > 0, e, negative_slope * e).reshape(nm, c.eb)
-        alpha = edge_softmax_chunked(c, e)
-        outs.append(spmm_dyn(c, ct, msg_h, alpha, interpret))
-    return jnp.stack(outs, axis=1)                         # [n_rows, H, F]
+
+    msg_hf = msg.reshape(e_rows, n_heads, f)
+    sc_src = jnp.einsum("ehf,hf->eh", msg_hf, a_src.astype(msg.dtype))
+    sc_src = jnp.pad(sc_src, ((0, (nm - nc) * c.eb), (0, 0)))  # metadata layout
+    s_dst = jnp.einsum("nhf,hf->nh", h.reshape(-1, n_heads, f), a_dst.astype(h.dtype))
+    sc_dst = jnp.take(s_dst, dst_global, axis=0)           # [Emeta, H]
+    e = sc_src + sc_dst
+    e = jnp.where(e > 0, e, negative_slope * e)
+    alpha = edge_softmax_chunked_heads(c, e)               # [Emeta, H]
+
+    msg_w = (msg_hf * alpha[:e_rows, :, None].astype(msg.dtype)).reshape(e_rows, -1)
+    out = spmm_msg(c, ct, msg_w, interpret)                # one launch, width H*F
+    return out.reshape(-1, n_heads, f)

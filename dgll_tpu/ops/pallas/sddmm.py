@@ -109,3 +109,16 @@ def edge_softmax_chunked(c: ChunkedCSR, scores: jax.Array) -> jax.Array:
     den = jax.ops.segment_sum(ex, flat_dst, num_segments=c.n_rows)
     alpha = ex / jnp.maximum(den, 1e-16)[flat_dst]
     return alpha.reshape(c.n_chunk_meta, c.eb)
+
+
+def edge_softmax_chunked_heads(c: ChunkedCSR, scores: jax.Array) -> jax.Array:
+    """Per-destination softmax with a trailing head axis: ``scores [n_meta*EB, H]``
+    -> alpha of the same shape (all heads in one set of segment ops)."""
+    valid = (c.weight != 0).reshape(-1)
+    dst_global = (c.row_block[:, None] * R_BLOCK + c.dst_local).reshape(-1)
+    s = jnp.where(valid[:, None], scores, -jnp.inf)
+    mx = jax.ops.segment_max(s, dst_global, num_segments=c.n_rows)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    ex = jnp.where(valid[:, None], jnp.exp(s - mx[dst_global]), 0.0)
+    den = jax.ops.segment_sum(ex, dst_global, num_segments=c.n_rows)
+    return ex / jnp.maximum(den, 1e-16)[dst_global]

@@ -139,8 +139,10 @@ def relabel_communities(g: Graph, part_of: np.ndarray) -> Tuple[Graph, Dict]:
     starts[1:] = np.cumsum(counts)
     book = {int(c): [int(starts[i]), int(starts[i + 1])] for i, c in enumerate(ids)}
 
-    src = new_id[np.asarray(g.src)[: g.n_real_edge]]
-    dst = new_id[np.asarray(g.dst)[: g.n_real_edge]]
+    from dgll_tpu import native
+
+    src = native.remap(new_id, np.asarray(g.src)[: g.n_real_edge])
+    dst = native.remap(new_id, np.asarray(g.dst)[: g.n_real_edge])
     ew = None if g.edge_weight is None else np.asarray(g.edge_weight)[: g.n_real_edge]
 
     def _perm(x):

@@ -120,8 +120,10 @@ def partition_graph(
     new_id = np.empty(n, np.int64)
     new_id[order] = sorted_parts * rows + within
 
-    src = new_id[np.asarray(g.src)[: g.n_real_edge]]
-    dst = new_id[np.asarray(g.dst)[: g.n_real_edge]]
+    from dgll_tpu import native
+
+    src = native.remap(new_id, np.asarray(g.src)[: g.n_real_edge])
+    dst = native.remap(new_id, np.asarray(g.dst)[: g.n_real_edge])
     w = (
         np.asarray(g.edge_weight)[: g.n_real_edge]
         if g.edge_weight is not None

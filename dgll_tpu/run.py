@@ -79,6 +79,120 @@ def build_sampler(cfg, g):
     return cls(lap, sizes, flatten=cfg.flatten, wrs=cfg.wrs, seed=cfg.seed)
 
 
+def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
+    """Data-parallel minibatch training over ``--n_devices`` mesh devices, sync or
+    one-step-stale (``--async_dp``) gradient application."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgll_tpu.dataloader import DataLoader
+    from dgll_tpu.parallel import (
+        ShardedDataLoader,
+        make_async_dp_block_step,
+        make_dp_block_step,
+        make_mesh,
+    )
+    from dgll_tpu.sampling import HostGraph
+    from dgll_tpu.train import MiniBatchTrainer
+
+    if cfg.sampler != "neighbor":
+        raise ValueError("--n_devices > 1 requires --samp_type neighbor")
+    D = cfg.n_devices
+    devices = jax.devices()[:D]
+    assert len(devices) == D, f"need {D} devices, have {len(jax.devices())}"
+    mesh = make_mesh(("data",), devices=devices)
+
+    hg = HostGraph.from_graph(g)
+    sampler = build_sampler(cfg, g)
+    per_dev = max(cfg.batch_size // D, 1)
+    train_nodes = g.get_train_nodes()
+    loader = ShardedDataLoader(hg, train_nodes, sampler, per_dev, D,
+                               seed=trial_seed)
+    if len(loader) == 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} over {D} devices needs at least "
+            f"{per_dev * D} train seeds; have {len(train_nodes)} — lower "
+            "--batch_size or raise the train split"
+        )
+    feats = jnp.asarray(g.node_feat)
+    labels = jnp.asarray(g.labels)
+
+    def model_apply(p, blocks, x, rng):
+        return model.apply({"params": p}, blocks, x, deterministic=True)
+
+    outs, blocks0 = next(iter(loader))
+    local = jax.tree.map(lambda a: a[0], blocks0,
+                         is_leaf=lambda a: isinstance(a, jax.Array))
+    x0 = jnp.take(feats, local[0].src_ids, axis=0)
+    params = model.init(jax.random.key(trial_seed), local, x0)["params"]
+    opt_state = tx.init(params)
+    if cfg.async_dp:
+        step, init_grads = make_async_dp_block_step(mesh, model_apply, tx)
+        grads = init_grads(params)
+    else:
+        step = make_dp_block_step(mesh, model_apply, tx)
+
+    # single-device eval path reuses the MiniBatchTrainer machinery
+    ev = MiniBatchTrainer(model, tx, seed=trial_seed)
+    val_loader = DataLoader(g, g.get_validation_nodes(), sampler, cfg.batch_size,
+                            shuffle=False, seed=trial_seed + 1)
+
+    def gather(blocks):
+        x = jnp.stack([jnp.take(feats, blocks[0].src_ids[d], axis=0)
+                       for d in range(D)])
+        y = jnp.stack([jnp.take(labels, blocks[-1].dst_ids[d], axis=0)
+                       for d in range(D)])
+        return x, y, blocks[-1].dst_mask
+
+    best_val, bad, n_epochs_run = -np.inf, 0, 0
+    rng = jax.random.key(trial_seed)
+    loss = np.inf
+    for epoch in range(cfg.n_epochs):
+        with timer.phase("train"):
+            for outs, blocks in loader:
+                x, y, m = gather(blocks)
+                if cfg.async_dp:
+                    params, opt_state, grads, loss = step(params, opt_state, grads,
+                                                          blocks, x, y, m, rng)
+                else:
+                    params, opt_state, loss = step(params, opt_state, blocks,
+                                                   x, y, m, rng)
+        n_epochs_run += 1
+        with timer.phase("validate"):
+            from dgll_tpu.train.trainer import TrainState
+
+            st = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+            val = ev.evaluate_nodes(st, val_loader, feats, labels)
+        if val > best_val:
+            best_val, bad = val, 0
+        else:
+            bad += 1
+        log.info(f"[dp x{D}{' async' if cfg.async_dp else ''}] epoch {epoch} "
+                 f"loss {float(loss):.4f} val {val:.4f}")
+        if cfg.n_stops and bad >= cfg.n_stops:
+            break
+    if cfg.async_dp:
+        # flush the final stale gradients
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax as _optax
+
+        params = _optax.apply_updates(params, updates)
+
+    from dgll_tpu.train.trainer import TrainState
+
+    st = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    test_loader = DataLoader(g, g.get_test_nodes(), sampler, cfg.batch_size,
+                             shuffle=False, seed=trial_seed + 2)
+    test_acc = ev.evaluate_nodes(st, test_loader, feats, labels)
+    return {
+        "test_acc": float(test_acc),
+        "micro_f1": float(test_acc),
+        "best_val": float(best_val),
+        "epochs": n_epochs_run,
+        "extra": {"n_devices": D, "async_dp": bool(cfg.async_dp)},
+    }
+
+
 def run_trial(cfg, g, trial_seed: int) -> dict:
     import jax
     import optax
@@ -111,6 +225,15 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
                       np.asarray(g.test_mask))
         best_val = hist.best_val
         n_epochs_run = len(hist.epochs)
+    elif cfg.n_devices > 1:
+        # ---- data-parallel minibatch over the mesh (ref MQGCN.py:94-163 flow);
+        # --async_dp applies one-step-stale gradients (RaCoM twin).
+        r = _run_dp_trial(cfg, g, trial_seed, model, tx, timer, log)
+        test_acc = r["test_acc"]
+        f1 = r["micro_f1"]
+        best_val = r["best_val"]
+        n_epochs_run = r["epochs"]
+        extra.update(r["extra"])
     else:
         import jax.numpy as jnp
 

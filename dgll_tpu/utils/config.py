@@ -37,7 +37,9 @@ class TrainConfig:
     n_trial: int = 1
     record_f1: bool = True
     cached_percent: float = 0.0     # fraction of nodes feature-cached in HBM
-    n_parts: int = 1                # graph partitions (devices)
+    n_parts: int = 1                # COG community partitions
+    n_devices: int = 1              # data-parallel mesh devices (ref --n_gpus)
+    async_dp: bool = False          # one-step-stale gradient application (RaCoM)
     seed: int = 0
     dtype: str = "float32"
     checkpoint_dir: Optional[str] = None
@@ -75,6 +77,9 @@ def add_train_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--cached_nPercent", "--cached_percent", dest="cached_percent",
                    type=float, default=d.cached_percent)
     p.add_argument("--n_parts", type=int, default=d.n_parts)
+    p.add_argument("--n_gpus", "--n_devices", dest="n_devices", type=int,
+                   default=d.n_devices)
+    p.add_argument("--async_dp", action="store_true")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--dtype", default=d.dtype)
     p.add_argument("--checkpoint_dir", default=None)

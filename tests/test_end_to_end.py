@@ -161,3 +161,19 @@ def test_cli_gin_model():
         "--n_epochs", "1", "--batch_size", "32", "--fanouts", "3,2",
     ])
     assert np.isfinite(out["trials"][0]["test_acc"])
+
+
+def test_cli_async_dp_over_mesh():
+    """--n_gpus/--async_dp runs data-parallel minibatch training over the virtual
+    mesh with one-step-stale gradients (ref MQGCN flow, RaCoM)."""
+    from dgll_tpu import run as cli
+
+    out = cli.main([
+        "--dataset", "synthetic", "--n_node", "600", "--avg_degree", "6",
+        "--feat_dim", "16", "--n_class", "4", "--Model", "SAGE",
+        "--n_epochs", "2", "--batch_size", "32", "--n_gpus", "4",
+        "--async_dp", "--fanouts", "3,2",
+    ])
+    t = out["trials"][0]
+    assert t["n_devices"] == 4 and t["async_dp"] is True
+    assert np.isfinite(t["test_acc"])

@@ -192,3 +192,43 @@ def test_multihead_chunked_matches_segment_layer():
     out_ker = layer.apply(params, gc, x)
     np.testing.assert_allclose(np.asarray(out_ker), np.asarray(out_seg),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_multihead_small_heads_kernel_reachable():
+    """Reference-style many-small-heads GAT (8 heads x 16 dims = 128 total) now rides
+    the kernel path — (H*F) % 128 == 0 instead of per-head F % 128 (VERDICT r1 #11)."""
+    import jax.numpy as jnp
+    from dgll_tpu.data import synthetic_classification_graph
+    from dgll_tpu.nn import GATConv
+
+    g = synthetic_classification_graph(n_node=150, avg_degree=5, seed=1)
+    gc = g.with_chunked(eb=128)
+    x = jnp.asarray(np.asarray(g.node_feat))
+    layer = GATConv(16, num_heads=8, concat_heads=True)
+    params = layer.init(jax.random.key(0), g, x)
+    out_seg = layer.apply(params, g, x)
+    out_ker = layer.apply(params, gc, x)
+    assert out_ker.shape == (150, 128)
+    np.testing.assert_allclose(np.asarray(out_ker), np.asarray(out_seg),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_multihead_kernel_grads_match_segment():
+    import jax
+    import jax.numpy as jnp
+    from dgll_tpu.data import synthetic_classification_graph
+    from dgll_tpu.nn import GATConv
+
+    g = synthetic_classification_graph(n_node=120, avg_degree=4, seed=2)
+    gc = g.with_chunked(eb=128)
+    x = jnp.asarray(np.asarray(g.node_feat))
+    layer = GATConv(32, num_heads=4, concat_heads=True)
+    params = layer.init(jax.random.key(0), g, x)
+
+    def loss(p, graph):
+        return jnp.sum(layer.apply(p, graph, x) ** 2)
+
+    g_seg = jax.grad(loss)(params, g)
+    g_ker = jax.grad(loss)(params, gc)
+    for a, b in zip(jax.tree.leaves(g_seg), jax.tree.leaves(g_ker)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4)
