@@ -40,11 +40,11 @@ class WalkGraph:
         indptr = np.zeros(g.n_real_node + 1, np.int64)
         np.add.at(indptr, s + 1, 1)
         indptr = np.cumsum(indptr)
-        # sort neighbours within each row for O(log d) membership tests (node2vec)
-        nbrs = d.copy()
-        for v in range(g.n_real_node):
-            lo, hi = indptr[v], indptr[v + 1]
-            nbrs[lo:hi] = np.sort(nbrs[lo:hi])
+        # sort neighbours within each row for O(log d) membership tests (node2vec);
+        # multithreaded C++ row sort (falls back to a numpy loop)
+        from dgll_tpu import native
+
+        nbrs = native.sort_rows(indptr, d)
         return WalkGraph(indptr, nbrs, g.n_real_node)
 
     def has_edge(self, u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -167,12 +167,25 @@ def struc2vec_walks(
     wg: WalkGraph, num_walks: int, walk_length: int, k_hops: int = 2,
     n_similar: int = 10, stay_prob: float = 0.3, seed: int = 0,
 ) -> np.ndarray:
-    """Structural-similarity biased walks (compact struc2vec).
+    """Multilayer struc2vec biased walks (ref ``struc2vec.py`` full machinery,
+    with the opt1 similar-degree candidate reduction).
 
-    Builds a k-layer similarity graph over the ``n_similar`` structurally closest
-    nodes (degree-ring DTW), then walks it: with prob ``stay_prob`` stay in the
-    current layer and jump to a structural neighbour (weight ∝ exp(-dist)), else
-    move layers — collapsed here to re-sampling at a different hop scope.
+    Construction, as in the reference:
+
+    * ordered degree lists per hop ring (``_compute_ordered_degreelist``);
+    * layered **cumulative** DTW distances ``d_k(u,v) = d_{k-1} + dtw(ring_k)``
+      over the opt1 candidate set (nearest nodes in the degree ordering);
+    * per-layer similarity weights ``w_k(u, v) = exp(-d_k(u, v))``
+      (``_get_layer_rep``);
+    * layer-transition probabilities from the reference's gamma statistic
+      (``_get_transition_probs`` / ``prepare_biased_walk``): ``gamma_k(v)`` counts
+      structural neighbours whose weight beats the layer average, and
+      ``p_up = gamma / (gamma + 1)``.
+
+    The walk itself (``BiasedWalker``): with prob ``stay_prob`` jump to a
+    structural neighbour of the current layer (weight-proportional — the exact
+    distribution the reference's alias tables sample); otherwise move up with
+    ``p_up`` / down with ``1 - p_up``, clipped to the layer range.
     """
     rng = np.random.default_rng(seed)
     rings = _degree_rings(wg, k_hops)
@@ -199,18 +212,23 @@ def struc2vec_walks(
                 d += _dtw(ra, rb)
                 sim_w[v, ci, h] = np.exp(-d)
 
-    layer = np.zeros(n, np.int64)
+    # layer-average weights and gamma (count of above-average structural
+    # neighbours) -> p_up per (node, layer), ref _get_transition_probs
+    avg_w = sim_w.reshape(-1, k_hops + 1).mean(axis=0)            # [L]
+    gamma = (sim_w > avg_w[None, None, :]).sum(axis=1)            # [n, L]
+    p_up = gamma / (gamma + 1.0)                                   # [n, L]
+
     starts = np.arange(n)
     cur = np.tile(starts, num_walks)
     lay = np.zeros(len(cur), np.int64)
     walks = np.empty((len(cur), walk_length), np.int64)
     walks[:, 0] = cur
     for t in range(1, walk_length):
-        move_layer = rng.random(len(cur)) >= stay_prob
-        lay = np.where(
-            move_layer, np.minimum(lay + rng.integers(0, 2, len(cur)) * 2 - 1, k_hops), lay
-        )
-        lay = np.clip(lay, 0, k_hops)
+        stay = rng.random(len(cur)) < stay_prob
+        # layer move (ref BiasedWalker: up with p_up, down otherwise)
+        up = rng.random(len(cur)) < p_up[cur, lay]
+        lay = np.where(stay, lay, np.clip(lay + np.where(up, 1, -1), 0, k_hops))
+        # in-layer structural jump, weight-proportional
         w = sim_w[cur, :, lay]  # [B, n_similar]
         w = w / np.maximum(w.sum(1, keepdims=True), 1e-12)
         cdf = np.cumsum(w, axis=1)
