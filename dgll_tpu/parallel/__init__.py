@@ -31,11 +31,21 @@ from dgll_tpu.parallel.gp import (
 from dgll_tpu.parallel.launch import initialize_distributed, is_primary, launch_local
 from dgll_tpu.parallel.mesh import make_mesh, replicated, sharded_dim0
 from dgll_tpu.parallel.partition import PartitionedGraph, partition_graph
+from dgll_tpu.parallel.tp import (
+    init_tp_gcn_params,
+    make_feature_sharded_spmm,
+    make_tp_gcn_apply,
+    shard_features,
+)
 
 __all__ = [
     "initialize_distributed",
     "is_primary",
     "launch_local",
+    "make_feature_sharded_spmm",
+    "make_tp_gcn_apply",
+    "init_tp_gcn_params",
+    "shard_features",
     "run_cog",
     "detect_communities",
     "merge_groups",
