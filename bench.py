@@ -113,6 +113,35 @@ def main() -> None:
     dt = max((t_large - t_small) / (steps - k_small), 1e-9)
     batch_ms = dt * 1e3
 
+    # secondary: K batches fused into one lax.scan dispatch. Measured SLOWER here
+    # (scan's per-iteration xs slicing copies the stacked batch, while JAX's async
+    # dispatch already hides per-step launch latency) — recorded for the honesty
+    # of the comparison; the plain chained loop is the production path.
+    scanned_ms = None
+    if os.environ.get("BENCH_SCAN", "0") == "1":
+        from dgll_tpu.train.trainer import make_scanned_block_step, stack_batches
+
+        scan_k = len(pool)
+        stacked = stack_batches(pool)
+        steps_fn = make_scanned_block_step()
+        state, losses = steps_fn(state, *stacked, key)  # compile
+        jax.block_until_ready(losses)
+        _log(f"scanned step compiled {time.perf_counter()-t0:.1f}s")
+
+        def run_scan_chain(k: int) -> float:
+            nonlocal state
+            t0 = time.perf_counter()
+            losses = None
+            for _ in range(k):
+                state, losses = steps_fn(state, *stacked, key)
+            float(losses[-1])
+            return time.perf_counter() - t0
+
+        run_scan_chain(1)
+        ts = run_scan_chain(2)
+        tl = run_scan_chain(6)
+        scanned_ms = max((tl - ts) / 4, 1e-9) / scan_k * 1e3
+
     # edges aggregated per batch across both layers
     edges_per_batch = batch * fanouts[-1] + batch * (1 + fanouts[-1]) * fanouts[0]
     edges_per_s = edges_per_batch / dt
@@ -133,6 +162,7 @@ def main() -> None:
         "vs_baseline": round(baseline_ms / batch_ms, 3),
         "detail": {
             "edges_per_s": int(edges_per_s),
+            "scanned_batch_ms": None if scanned_ms is None else round(scanned_ms, 4),
             "n_node": n_node,
             "avg_deg": avg_deg,
             "batch": batch,

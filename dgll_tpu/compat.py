@@ -56,8 +56,11 @@ from dgll_tpu.embedding import (  # noqa: F401
     Struc2Vec,
     train_all_classifiers as TrainingClassifiers,
 )
+from dgll_tpu.data.datasets import S2VGraph, load_dataP  # noqa: F401 (utils.py:267-385)
 from dgll_tpu.data.datasets import load_graph as loadGraph  # noqa: F401
 from dgll_tpu.data.datasets import save_graph as saveGraph  # noqa: F401
+from dgll_tpu.data.datasets import separate_graphs as separate_data  # noqa: F401
+from dgll_tpu.data.utils import multihop_sampling  # noqa: F401 (utils.py:62)
 from dgll_tpu.embedding.skipgram import save_embedding as saveEmbedding  # noqa: F401
 from dgll_tpu.utils.logging import get_logger  # mylog.get_logger parity
 from dgll_tpu.data.transforms import row_normalize_features as normalize  # noqa: F401

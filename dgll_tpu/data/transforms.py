@@ -56,3 +56,25 @@ def row_normalize_features(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, np.float32)
     s = x.sum(axis=1, keepdims=True)
     return x / np.maximum(s, 1e-12)
+
+
+def precompute_neighbor_features(g: Graph, kind: str = "mean") -> np.ndarray:
+    """Offline neighbour-feature aggregation — the reference's ``preprocess`` mode
+    (``FeatureCache/gs.py:43-56``: a precomputed 'neigh' field replaces the
+    outermost sampled hop, so training needs one hop less per batch).
+
+    Returns the aggregated [n_real_node, d] matrix (host numpy); concatenate with
+    the raw features and drop the outermost fanout at the call site.
+    """
+    n = g.n_real_node
+    src = np.asarray(g.src)[: g.n_real_edge]
+    dst = np.asarray(g.dst)[: g.n_real_edge]
+    x = np.asarray(g.node_feat, np.float32)[:n]
+    agg = np.zeros((n, x.shape[1]), np.float32)
+    np.add.at(agg, dst, x[src])
+    if kind == "mean":
+        deg = np.bincount(dst, minlength=n).astype(np.float32)
+        agg /= np.maximum(deg, 1.0)[:, None]
+    elif kind != "sum":
+        raise ValueError(f"unknown aggregation {kind!r}")
+    return agg

@@ -261,6 +261,27 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
             extra["cog_s"] = float(sum(cog_t.values()))
             log.info(f"COG: {len(book)} communities in {extra['cog_s']:.2f}s")
 
+        # ---- offline neighbour-feature preprocessing (ref gs.py:43-56): the
+        # precomputed mean-aggregated 'neigh' field rides along with the raw
+        # features and replaces the outermost sampled hop.
+        if cfg.preprocess:
+            from dataclasses import replace as _dc_replace
+
+            from dgll_tpu.data.transforms import precompute_neighbor_features
+
+            neigh = precompute_neighbor_features(g)
+            if g.n_node > g.n_real_node:  # keep padded rows padded
+                neigh = np.pad(neigh, ((0, g.n_node - g.n_real_node), (0, 0)))
+            x_cat = np.concatenate(
+                [np.asarray(g.node_feat, np.float32), neigh], axis=1
+            )
+            g = g.with_features(node_feat=x_cat)
+            if len(cfg.fanouts) > 1:
+                cfg = _dc_replace(cfg, fanouts=list(cfg.fanouts[1:]),
+                                  n_layers=max(cfg.n_layers - 1, 1))
+                model = build_model(cfg, n_class)
+            extra["preprocess"] = True
+
         sampler = build_sampler(cfg, g)
         train_nodes = g.get_train_nodes()
 

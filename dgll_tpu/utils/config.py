@@ -40,6 +40,7 @@ class TrainConfig:
     n_parts: int = 1                # COG community partitions
     n_devices: int = 1              # data-parallel mesh devices (ref --n_gpus)
     async_dp: bool = False          # one-step-stale gradient application (RaCoM)
+    preprocess: bool = False        # offline neigh-feature aggregation (ref gs.py)
     seed: int = 0
     dtype: str = "float32"
     checkpoint_dir: Optional[str] = None
@@ -80,6 +81,7 @@ def add_train_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--n_gpus", "--n_devices", dest="n_devices", type=int,
                    default=d.n_devices)
     p.add_argument("--async_dp", action="store_true")
+    p.add_argument("--preprocess", action="store_true")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--dtype", default=d.dtype)
     p.add_argument("--checkpoint_dir", default=None)

@@ -177,3 +177,63 @@ def test_cli_async_dp_over_mesh():
     t = out["trials"][0]
     assert t["n_devices"] == 4 and t["async_dp"] is True
     assert np.isfinite(t["test_acc"])
+
+
+def test_cli_preprocess_mode():
+    """--preprocess precomputes the 'neigh' field and drops the outermost hop
+    (ref FeatureCache/gs.py:43-56)."""
+    from dgll_tpu import run as cli
+
+    out = cli.main([
+        "--dataset", "synthetic", "--n_node", "300", "--avg_degree", "6",
+        "--feat_dim", "16", "--n_class", "4", "--Model", "SAGE",
+        "--n_epochs", "2", "--batch_size", "32", "--fanouts", "4,3",
+        "--preprocess",
+    ])
+    t = out["trials"][0]
+    assert t.get("preprocess") is True
+    assert np.isfinite(t["test_acc"]) and t["test_acc"] > 0.4
+
+
+def test_scanned_steps_match_sequential(g):
+    """K batches in one lax.scan dispatch == K sequential jitted steps."""
+    from dgll_tpu.train.trainer import (
+        create_train_state, make_block_step, make_scanned_block_step, stack_batches,
+    )
+
+    sampler = NeighborSampler([4, 3], seed=0)
+    hg = HostGraph.from_graph(g)
+    model = GraphSAGE(hidden=16, n_class=4, dropout=0.0)
+    feats = jnp.asarray(g.node_feat)
+    labels = jnp.asarray(g.labels)
+
+    batches = []
+    for i in range(4):
+        seeds = np.arange(i * 16, (i + 1) * 16)
+        _, _, blocks = sampler.sample(hg, seeds, pad_to=16)
+        x = jnp.take(feats, jnp.asarray(blocks[0].src_ids), axis=0)
+        y = jnp.take(labels, jnp.asarray(blocks[-1].dst_ids), axis=0)
+        batches.append((tuple(jax.device_put(blocks)), x, y,
+                        jnp.asarray(blocks[-1].dst_mask)))
+
+    import optax
+    tx = optax.sgd(1e-2)
+    state0 = create_train_state(model, jax.random.key(0), tx,
+                                list(batches[0][0]), batches[0][1])
+
+    # sequential
+    step = make_block_step()
+    st = state0
+    key = jax.random.key(7)
+    seq_losses = []
+    for b, x, y, m in batches:
+        key, drng = jax.random.split(key)
+        st, loss = step(st, b, x, y, m, drng)
+        seq_losses.append(float(loss))
+
+    # scanned
+    steps = make_scanned_block_step()
+    st2, losses = steps(state0, *stack_batches(batches), jax.random.key(7))
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
