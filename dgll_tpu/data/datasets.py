@@ -196,6 +196,11 @@ def load_dataP(path: str, degree_as_tag: bool = False) -> Tuple[List[S2VGraph], 
                 for k in head[2:]:
                     src.append(j)
                     dst.append(k)
+            if attrs and len(attrs) != n:
+                raise ValueError(
+                    f"graph with {n} nodes has float attrs on only {len(attrs)} "
+                    "node rows — the format requires all or none"
+                )
             # dedupe undirected pairs (the ref builds an nx.Graph, which dedupes),
             # then bidirect (ref extends edges with the reversed pairs)
             und = sorted({(min(a, b), max(a, b)) for a, b in zip(src, dst)})

@@ -63,12 +63,10 @@ def detect_communities(g: Graph, max_iters: int = 20, seed: int = 0) -> np.ndarr
             safe = np.minimum(first, max(len(du_s) - 1, 0))
             valid = has & (du_s[safe] == np.arange(n))
             best = np.where(valid, lu_s[safe], labels)
+            if (best == labels).all():
+                break  # converged: NO node wants to change (not just this half)
             upd = rng.random(n) < 0.5
-            new = np.where(upd, best, labels)
-            if (new == labels).all():
-                labels = new
-                break
-            labels = new
+            labels = np.where(upd, best, labels)
     _, comp = np.unique(labels, return_inverse=True)
     return comp
 
@@ -94,13 +92,26 @@ def merge_groups(part_of: np.ndarray, min_size: int) -> np.ndarray:
         return comp
     order = np.argsort(sizes, kind="stable")
     prefix = np.cumsum(sizes[order]) - sizes[order]
-    gid_sorted = prefix // max(min_size, 1)
-    # trailing bin may be undersized: fold it into the previous bin
-    last = gid_sorted[-1]
-    if last > 0:
-        tail = gid_sorted == last
-        if sizes[order][tail].sum() < min_size:
-            gid_sorted[tail] = last - 1
+    gid_sorted = (prefix // max(min_size, 1)).astype(np.int64)
+    # Prefix binning can leave interior bins undersized (a community spilling past
+    # a bin edge claims the next bin's budget). Repair with a sequential greedy
+    # fold over the BINS (n_bins ~ total/min_size, tiny next to C): close a bin
+    # only once its accumulated size reaches min_size.
+    _, gid_sorted = np.unique(gid_sorted, return_inverse=True)
+    n_bins = int(gid_sorted.max()) + 1
+    bin_sizes = np.bincount(gid_sorted, weights=sizes[order].astype(np.float64),
+                            minlength=n_bins).astype(np.int64)
+    fold = np.empty(n_bins, np.int64)
+    cur, acc = 0, 0
+    for b in range(n_bins):
+        fold[b] = cur
+        acc += int(bin_sizes[b])
+        if acc >= min_size:
+            cur += 1
+            acc = 0
+    if acc > 0 and cur > 0:  # undersized trailing remainder joins the last bin
+        fold[fold == cur] = cur - 1
+    gid_sorted = fold[gid_sorted]
     gid = np.empty(len(ids), np.int64)
     gid[order] = gid_sorted
     part = gid[np.searchsorted(ids, part_of)]

@@ -77,8 +77,11 @@ def launch_local(
     Each child should call :func:`initialize_distributed` early. Returns the
     completed processes; raises if any exits non-zero (with its stderr).
     """
+    import tempfile
+
     port = _free_port()
     procs = []
+    files = []
     for pid in range(n_processes):
         child_env = dict(os.environ)
         if env:
@@ -86,24 +89,35 @@ def launch_local(
         child_env[ENV_COORD] = f"127.0.0.1:{port}"
         child_env[ENV_NPROC] = str(n_processes)
         child_env[ENV_PID] = str(pid)
-        procs.append(
-            subprocess.Popen(
-                list(argv), env=child_env,
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            )
-        )
+        # child output goes to temp files, never pipes: the parent drains
+        # children sequentially, and a child blocking on a full 64KB pipe while
+        # another waits on a distributed collective deadlocks the whole launch
+        fo = tempfile.TemporaryFile(mode="w+")
+        fe = tempfile.TemporaryFile(mode="w+")
+        files.append((fo, fe))
+        procs.append(subprocess.Popen(list(argv), env=child_env, stdout=fo,
+                                      stderr=fe, text=True))
     done = []
     failed = None
-    for pid, p in enumerate(procs):
-        try:
-            out, err = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        done.append(subprocess.CompletedProcess(argv, p.returncode, out, err))
-        if p.returncode != 0 and failed is None:
-            failed = (pid, err)
+    try:
+        for pid, p in enumerate(procs):
+            try:
+                p.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            fo, fe = files[pid]
+            fo.seek(0)
+            fe.seek(0)
+            out, err = fo.read(), fe.read()
+            done.append(subprocess.CompletedProcess(argv, p.returncode, out, err))
+            if p.returncode != 0 and failed is None:
+                failed = (pid, err)
+    finally:
+        for fo, fe in files:
+            fo.close()
+            fe.close()
     if failed is not None:
         raise RuntimeError(
             f"process {failed[0]} exited non-zero; stderr:\n{failed[1][-4000:]}"

@@ -117,7 +117,12 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
     feats = jnp.asarray(g.node_feat)
     labels = jnp.asarray(g.labels)
 
+    use_dropout = cfg.dropout > 0
+
     def model_apply(p, blocks, x, rng):
+        if use_dropout:
+            return model.apply({"params": p}, blocks, x, deterministic=False,
+                               rngs={"dropout": rng})
         return model.apply({"params": p}, blocks, x, deterministic=True)
 
     outs, blocks0 = next(iter(loader))
@@ -138,19 +143,21 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
                             shuffle=False, seed=trial_seed + 1)
 
     def gather(blocks):
-        x = jnp.stack([jnp.take(feats, blocks[0].src_ids[d], axis=0)
-                       for d in range(D)])
-        y = jnp.stack([jnp.take(labels, blocks[-1].dst_ids[d], axis=0)
-                       for d in range(D)])
+        # src_ids/dst_ids are already [D, n] stacked -> one batched gather each
+        x = jnp.take(feats, blocks[0].src_ids, axis=0)
+        y = jnp.take(labels, blocks[-1].dst_ids, axis=0)
         return x, y, blocks[-1].dst_mask
 
     best_val, bad, n_epochs_run = -np.inf, 0, 0
-    rng = jax.random.key(trial_seed)
+    base_rng = jax.random.key(trial_seed)
+    step_i = 0
     loss = np.inf
     for epoch in range(cfg.n_epochs):
         with timer.phase("train"):
             for outs, blocks in loader:
                 x, y, m = gather(blocks)
+                rng = jax.random.fold_in(base_rng, step_i)  # fresh dropout mask
+                step_i += 1
                 if cfg.async_dp:
                     params, opt_state, grads, loss = step(params, opt_state, grads,
                                                           blocks, x, y, m, rng)

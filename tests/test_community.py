@@ -88,3 +88,22 @@ def test_community_sampler_stays_in_range(g):
     # out-of-range seeds rejected
     with pytest.raises(AssertionError):
         sampler.sample(hg, np.array([hi]), pad_to=1)
+
+
+def test_merge_groups_min_size_invariant_randomized():
+    """Every surviving community must reach min_size (the COG loaders rely on it);
+    regression for the prefix-binning repair (code-review r2 finding)."""
+    rng = np.random.default_rng(0)
+    for trial in range(50):
+        n_comm = int(rng.integers(2, 40))
+        sizes = rng.integers(1, 20, n_comm)
+        part = np.repeat(np.arange(n_comm), sizes)
+        rng.shuffle(part)
+        min_size = int(rng.integers(2, 40))
+        merged = merge_groups(part, min_size)
+        _, out_sizes = np.unique(merged, return_counts=True)
+        if part.size >= min_size:
+            assert (out_sizes >= min_size).all(), (trial, min_size, sorted(out_sizes))
+        else:
+            assert len(out_sizes) == 1
+        assert out_sizes.sum() == part.size

@@ -128,9 +128,11 @@ def test_load_dataP_text_format(tmp_path):
     tuples = s2v_to_tuples(graphs)
     assert len(tuples) == 2 and tuples[0][3] == 0
 
-    # degree_as_tag override
+    # degree_as_tag override: g0 degrees are [2, 1, 1] -> remapped first-seen [0, 1, 1]
     graphs2, _ = load_dataP(str(p), degree_as_tag=True)
-    assert graphs2[0].node_tags == [graphs2[0].node_tags[0]] + graphs2[0].node_tags[1:]
+    assert graphs2[0].node_tags == [0, 1, 1]
+    # g1 degrees are [1, 1] -> both map to the tag already assigned to degree 1
+    assert graphs2[1].node_tags == [1, 1]
 
     # stratified graph folds
     many = graphs * 10
