@@ -21,3 +21,7 @@ jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu", (
     "test suite must run on the virtual CPU mesh; got " + jax.default_backend()
 )
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: multi-process / long-running tests")
