@@ -186,6 +186,10 @@ def _fullgraph_kernel_bench(jax, jnp, hbm_gbps: float = 819.0) -> dict:
 
     n_node = int(os.environ.get("BENCH_FG_NODES", 200_000))
     avg_deg = int(os.environ.get("BENCH_FG_DEG", 16))
+    # bfloat16 runs the layer compute (XW matmul + message gather + in-kernel
+    # scatter matmul) in bf16 with f32 accumulation — half the gather traffic,
+    # 4x the MXU rate; params/optimizer stay f32 (standard mixed precision)
+    dtype = jnp.dtype(os.environ.get("BENCH_FG_DTYPE", "float32"))
     # widths MXU-tileable so BOTH layers ride the compiled kernel (the chunked
     # path needs F % 128 == 0; a 32-class head would fall back to XLA scatter)
     feat_dim, hidden, n_class = 128, 128, 128
@@ -201,7 +205,8 @@ def _fullgraph_kernel_bench(jax, jnp, hbm_gbps: float = 819.0) -> dict:
     g = gcn_normalize(g).with_chunked(eb=512).to_device()
     assert g.chunked is not None and not g.chunked.interpret
 
-    model = GCN(hidden=hidden, n_class=n_class, dropout=0.0)
+    model = GCN(hidden=hidden, n_class=n_class, dropout=0.0,
+                dtype=None if dtype == jnp.float32 else dtype)
     state = create_train_state(model, jax.random.key(0), optax.adam(1e-3), g,
                                g.node_feat)
     step = make_full_batch_step()
@@ -224,8 +229,9 @@ def _fullgraph_kernel_bench(jax, jnp, hbm_gbps: float = 819.0) -> dict:
     c = g.chunked
     # fwd 2 spmm + bwd 2 spmm over A^T: 4 kernel passes, each gather r+w + re-read
     slots = c.n_chunk * c.eb
-    bytes_moved = 4 * (3 * slots + n_node) * hidden * 4
+    bytes_moved = 4 * (3 * slots + n_node) * hidden * dtype.itemsize
     return {
+        "dtype": str(dtype),
         "step_ms": round(dt * 1e3, 2),
         "edges_per_s_per_layerpass": int(4 * n_edge / dt),
         "n_node": n_node,

@@ -99,6 +99,46 @@ def test_custom_vjp_matches_autodiff(coo):
     np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_r), rtol=1e-3, atol=1e-2)
 
 
+def test_pallas_kernel_bf16_messages(coo):
+    """bf16 messages with f32 in-kernel accumulation (mixed-precision mode used by
+    the fullgraph benchmark): matches the f32 dense oracle at bf16 tolerance, and
+    the VJP runs the transpose kernel in bf16 too."""
+    src, dst, w, x, n = coo
+    c, ct = build_chunked_pair(src, dst, n, n, w, eb=256)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    msg = jnp.take(xb, c.src[: c.n_chunk].reshape(-1), axis=0)
+    out = spmm_chunked_pallas(c, msg, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    # oracle = f32 math over bf16-QUANTIZED inputs: the kernel accumulates in
+    # f32, so the only extra error left is the final bf16 store rounding
+    xq = np.asarray(xb, np.float32)
+    wq = np.asarray(jnp.asarray(w, jnp.bfloat16), np.float32)
+    expect = dense_expect(src, dst, wq, xq, n)
+    scale = np.maximum(np.abs(expect), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[:n] / scale, expect / scale, atol=1e-2
+    )
+
+    def loss(x_):
+        return jnp.sum(spmm_chunked(c, ct, x_, None, "relu", True)[:n] ** 2)
+
+    gx = jax.grad(loss)(xb)
+    assert gx.dtype == jnp.bfloat16
+    # backward oracle built from the pallas forward's OWN output (so relu-mask
+    # flips on near-zero sums don't poison the comparison): dx = A^T (2 out)
+    out_f = np.zeros((c.n_rows, x.shape[1]), np.float32)
+    out_f[:n] = np.maximum(dense_expect(src, dst, wq, xq, n), 0.0)
+    A = np.zeros((n, n), np.float32)
+    np.add.at(A, (dst, src), wq)
+    # quantize the cotangent like the kernel sees it (g flows in as bf16)
+    g_q = np.asarray(jnp.asarray(2.0 * out_f[:n], jnp.bfloat16), np.float32)
+    gx_r = A.T @ g_q
+    gscale = np.maximum(np.abs(gx_r), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(gx, np.float32) / gscale, gx_r / gscale, atol=5e-2
+    )
+
+
 def test_rectangular_block(coo):
     """Bipartite A [rows x cols] with rows != cols (sampled-block shape)."""
     rng = np.random.default_rng(1)
