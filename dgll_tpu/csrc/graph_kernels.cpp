@@ -234,6 +234,25 @@ void dgll_build_csr_apply(const int64_t* dst, const int64_t* src, const float* w
                           int64_t e, int64_t n, int64_t* indptr, int32_t* src_out,
                           int32_t* dst_out, float* w_out) {
     int nw = n_workers(e, 1 << 20);
+    // each worker allocates an n-sized int64 histogram: cap the total at ~256 MB
+    // (mirrors dgll_build_csr's large-n serial guard) so huge-n graphs on
+    // many-core hosts don't transiently blow up memory
+    while (nw > 1 && (int64_t)nw * n * (int64_t)sizeof(int64_t) > ((int64_t)1 << 28))
+        --nw;
+    if (nw <= 1) {
+        std::memset(indptr, 0, sizeof(int64_t) * (n + 1));
+        for (int64_t i = 0; i < e; ++i) indptr[dst[i] + 1]++;
+        for (int64_t v = 0; v < n; ++v) indptr[v + 1] += indptr[v];
+        std::vector<int64_t> cur(indptr, indptr + n);
+        for (int64_t i = 0; i < e; ++i) {
+            int64_t v = dst[i];
+            int64_t slot = cur[v]++;
+            src_out[slot] = (int32_t)src[i];
+            dst_out[slot] = (int32_t)v;
+            if (w_out) w_out[slot] = w[i];
+        }
+        return;
+    }
     int64_t chunk = (e + nw - 1) / nw;
     std::vector<std::vector<int64_t>> local(nw);
     {

@@ -48,6 +48,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
+        # check the ABI before binding symbols: a stale libdgll_host.so (e.g.
+        # copied in with a fresh mtime) must fall back to numpy, not raise
+        try:
+            lib.dgll_abi_version.restype = ctypes.c_int
+            if lib.dgll_abi_version() != 2:
+                return None
+        except (OSError, AttributeError):
+            return None
         i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.dgll_build_csr.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p]
@@ -76,9 +84,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p,
         ]
         lib.dgll_sort_rows.argtypes = [i64p, ctypes.c_int64, i64p]
-        lib.dgll_abi_version.restype = ctypes.c_int
-        if lib.dgll_abi_version() != 2:
-            return None
         _lib = lib
         return _lib
 

@@ -67,9 +67,7 @@ def sddmm_chunked_pallas(
         ],
         out_specs=pl.BlockSpec((8, c.eb), lambda ci, rb: (ci // 8, 0)),
     )
-    # out rides the metadata layout; rows >= n_chunk are never written (mask scores
-    # with c.weight != 0 downstream, which is 0 there)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c.n_chunk_meta, c.eb), jnp.float32),
@@ -80,6 +78,10 @@ def sddmm_chunked_pallas(
             transcendentals=0,
         ),
     )(c.row_block, c.dst_local, a, msg_b)
+    # out rides the metadata layout; grid rows >= n_chunk are uninitialised Pallas
+    # output memory — zero them here so the padded-tail contract holds at the
+    # producer rather than relying on downstream `c.weight != 0` masking
+    return jnp.where(jnp.arange(c.n_chunk_meta)[:, None] < c.n_chunk, out, 0.0)
 
 
 def sddmm_chunked_xla(c: ChunkedCSR, a: jax.Array, msg_b: jax.Array) -> jax.Array:

@@ -80,6 +80,9 @@ def block_aggregate(x: jax.Array, n_dst: int, fanout: int, neigh_mask: jax.Array
     if kind == "mean":
         return neigh.mean(axis=1)
     if kind == "sum":
+        # NOT an unnormalised neighbour sum: mask-weighted sum / fanout, matching
+        # Block.edge_weight's 1/fanout mean-normalised convention (== spmm_coo
+        # over the Block's COO view). Callers wanting a raw sum must rescale.
         w = neigh_mask.astype(neigh.dtype)[..., None]
         return (neigh * w).sum(axis=1) / float(max(fanout, 1))
     if kind == "max":

@@ -95,7 +95,7 @@ def make_tp_gcn_apply(mesh: Mesh, src, dst, weight, n_node: int,
 def init_tp_gcn_params(mesh: Mesh, f_in: int, hidden: int, n_class: int,
                        seed: int = 0, axis: str = "model") -> dict:
     """W1 sharded on the output (column) dim, W2 on the input (row) dim."""
-    d = mesh.devices.size
+    d = mesh.shape[axis]  # size of the named axis, not the whole mesh
     assert hidden % d == 0, f"hidden {hidden} must split over {d} devices"
     rng = np.random.default_rng(seed)
     w1 = (rng.normal(0, np.sqrt(2.0 / f_in), (f_in, hidden))).astype(np.float32)

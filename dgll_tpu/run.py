@@ -79,6 +79,28 @@ def build_sampler(cfg, g):
     return cls(lap, sizes, flatten=cfg.flatten, wrs=cfg.wrs, seed=cfg.seed)
 
 
+def _maybe_restore_params(cfg, params):
+    """``--resume``: load the latest checkpointed params over the fresh init.
+
+    Returns ``(params, resumed_step_or_None)``. Reference has no resume at all
+    (best-model save commented out, ``CommGNN_train.py:156``); this wires
+    ``CheckpointManager.restore`` into the CLI."""
+    if not (cfg.resume and cfg.checkpoint_dir):
+        return params, None
+    import jax
+
+    from dgll_tpu.train import CheckpointManager
+
+    mgr = CheckpointManager(cfg.checkpoint_dir)
+    step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        return params, None
+    restored = mgr.restore(jax.tree.map(np.asarray, params), step=step)
+    mgr.close()
+    return jax.tree.map(np.asarray, restored), int(step)
+
+
 def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
     """Data-parallel minibatch training over ``--n_devices`` mesh devices, sync or
     one-step-stale (``--async_dp``) gradient application."""
@@ -130,6 +152,7 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
                          is_leaf=lambda a: isinstance(a, jax.Array))
     x0 = jnp.take(feats, local[0].src_ids, axis=0)
     params = model.init(jax.random.key(trial_seed), local, x0)["params"]
+    params, resumed = _maybe_restore_params(cfg, params)
     opt_state = tx.init(params)
     if cfg.async_dp:
         step, init_grads = make_async_dp_block_step(mesh, model_apply, tx)
@@ -190,13 +213,17 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
     st = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     test_loader = DataLoader(g, g.get_test_nodes(), sampler, cfg.batch_size,
                              shuffle=False, seed=trial_seed + 2)
-    test_acc = ev.evaluate_nodes(st, test_loader, feats, labels)
+    pred, y = ev.predict_nodes(st, test_loader, feats, labels)
+    from dgll_tpu.train import micro_f1
+
     return {
-        "test_acc": float(test_acc),
-        "micro_f1": float(test_acc),
+        "test_acc": float((pred == y).mean()) if len(pred) else 0.0,
+        "micro_f1": micro_f1(pred, y),
         "best_val": float(best_val),
         "epochs": n_epochs_run,
-        "extra": {"n_devices": D, "async_dp": bool(cfg.async_dp)},
+        "params": params,
+        "extra": {"n_devices": D, "async_dp": bool(cfg.async_dp),
+                  "resumed_from": resumed},
     }
 
 
@@ -204,7 +231,14 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
     import jax
     import optax
 
-    from dgll_tpu.train import FullBatchTrainer, MiniBatchTrainer, accuracy, micro_f1
+    from dgll_tpu.train import (
+        FullBatchTrainer,
+        MiniBatchTrainer,
+        accuracy,
+        macro_f1,
+        micro_f1,
+    )
+    from dgll_tpu.train.metrics import metric_for_dataset
     from dgll_tpu.utils import PhaseTimer, get_logger
 
     log = get_logger(cfg.log_file)
@@ -220,11 +254,24 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
     t_start = time.perf_counter()
     extra: dict = {}
     if cfg.sampler == "full":
+        import jax.numpy as jnp
+
+        from dgll_tpu.train.trainer import create_train_state
+
         tr = FullBatchTrainer(model, tx, seed=trial_seed)
+        state0 = None
+        if cfg.resume and cfg.checkpoint_dir:
+            gd = jax.tree.map(jnp.asarray, g)
+            tr.rng, init_rng = jax.random.split(tr.rng)
+            state0 = create_train_state(model, init_rng, tx, gd, gd.node_feat)
+            p, resumed = _maybe_restore_params(cfg, state0.params)
+            if resumed is not None:
+                state0 = state0.replace(params=jax.tree.map(jnp.asarray, p))
+                extra["resumed_from"] = resumed
         with timer.phase("train"):
             state, hist = tr.fit(
                 g, g.node_feat, g.labels, g.train_mask, g.val_mask,
-                epochs=cfg.n_epochs, patience=cfg.n_stops,
+                epochs=cfg.n_epochs, patience=cfg.n_stops, state=state0,
             )
         logp = tr.evaluate(state, g, g.node_feat)
         test_acc = accuracy(logp, g.labels, g.test_mask)
@@ -232,6 +279,7 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
                       np.asarray(g.test_mask))
         best_val = hist.best_val
         n_epochs_run = len(hist.epochs)
+        final_params = state.params
     elif cfg.n_devices > 1:
         # ---- data-parallel minibatch over the mesh (ref MQGCN.py:94-163 flow);
         # --async_dp applies one-step-stale gradients (RaCoM twin).
@@ -240,6 +288,7 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
         f1 = r["micro_f1"]
         best_val = r["best_val"]
         n_epochs_run = r["epochs"]
+        final_params = r["params"]
         extra.update(r["extra"])
     else:
         import jax.numpy as jnp
@@ -330,6 +379,10 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
         labels = jnp.asarray(g.labels)
         x0 = jnp.take(feats, jnp.asarray(b0[0].src_ids), axis=0)
         state = tr.init_state(b0, x0)
+        p, resumed = _maybe_restore_params(cfg, state.params)
+        if resumed is not None:
+            state = state.replace(params=jax.tree.map(jnp.asarray, p))
+            extra["resumed_from"] = resumed
         best_val, bad, n_epochs_run = -np.inf, 0, 0
         val_loader = DataLoader(g, g.get_validation_nodes(), sampler, cfg.batch_size,
                                 shuffle=False, seed=trial_seed + 1)
@@ -355,8 +408,10 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
                 break
         test_loader = DataLoader(g, g.get_test_nodes(), sampler, cfg.batch_size,
                                  shuffle=False, seed=trial_seed + 2)
-        test_acc = tr.evaluate_nodes(state, test_loader, feats, labels, fetch_fn=fetch)
-        f1 = test_acc
+        pred, y = tr.predict_nodes(state, test_loader, feats, labels, fetch_fn=fetch)
+        test_acc = float((pred == y).mean()) if len(pred) else 0.0
+        f1 = micro_f1(pred, y)
+        final_params = state.params
         if cache is not None:
             rate, lookups, misses = cache.miss_rate()
             extra["cache_miss_rate"] = float(rate)
@@ -367,12 +422,18 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
     if cfg.checkpoint_dir:
         from dgll_tpu.train import CheckpointManager
 
+        save_step = n_epochs_run + (extra.get("resumed_from") or 0)
         mgr = CheckpointManager(cfg.checkpoint_dir)
-        mgr.save(n_epochs_run, jax.tree.map(np.asarray, state.params), wait=True)
+        mgr.save(save_step, jax.tree.map(np.asarray, final_params), wait=True)
         mgr.close()
+    # headline metric chosen per dataset (ref GPU Accelerator/utils.py:60-91)
+    metric_name = metric_for_dataset(cfg.dataset)
+    metric_value = {"acc": test_acc, "f1": f1}.get(metric_name, test_acc)
     return {
         "test_acc": float(test_acc),
         "micro_f1": float(f1),
+        "metric_name": metric_name,
+        "metric": float(metric_value),
         "best_val": float(best_val),
         "epochs": n_epochs_run,
         "train_s": timer.totals.get("train", total),
@@ -393,6 +454,8 @@ def main(argv=None) -> dict:
             "std": float(np.std([r[k] for r in results])),
         }
         for k in results[0]
+        if isinstance(results[0][k], (int, float)) and results[0][k] is not None
+        and not isinstance(results[0][k], bool)
     }
     out = {"config": vars(cfg) | {"fanouts": list(cfg.fanouts)}, "trials": results,
            "aggregate": agg}

@@ -5,6 +5,7 @@ from dgll_tpu.train.metrics import (
     macro_f1,
     masked_bce_loss,
     masked_nll_loss,
+    metric_for_dataset,
     micro_f1,
     roc_auc,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "masked_nll_loss",
     "masked_bce_loss",
     "METRIC_FOR_DATASET",
+    "metric_for_dataset",
     "FullBatchTrainer",
     "MiniBatchTrainer",
     "TrainState",

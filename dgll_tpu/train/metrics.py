@@ -97,6 +97,18 @@ METRIC_FOR_DATASET = {
 }
 
 
+def metric_for_dataset(name: str) -> str:
+    """Headline-metric key for a dataset (ref ``record_result_new``,
+    ``GPU Accelerator/utils.py:60-91``); datasets not in the table get ``acc``."""
+    import os
+
+    base = os.path.basename(str(name).rstrip("/")).lower()
+    for suffix in (".graph", ".pkl"):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+    return METRIC_FOR_DATASET.get(base, "acc")
+
+
 def masked_nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray, mask=None) -> jnp.ndarray:
     """Mean negative log-likelihood over masked nodes (models emit log_softmax)."""
     nll = -jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]

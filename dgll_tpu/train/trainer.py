@@ -287,8 +287,18 @@ class MiniBatchTrainer:
     def evaluate_nodes(self, state, loader, features, labels,
                        fetch_fn: Optional[Callable] = None) -> float:
         """Sampled evaluation accuracy over the loader's seed nodes."""
+        pred, y = self.predict_nodes(state, loader, features, labels, fetch_fn)
+        return float((pred == y).mean()) if len(pred) else 0.0
+
+    def predict_nodes(self, state, loader, features, labels,
+                      fetch_fn: Optional[Callable] = None):
+        """Predicted classes + true labels for every real (unpadded) seed node.
+
+        Returns ``(pred, y)`` 1-D numpy arrays so callers can compute any metric
+        (accuracy / micro-F1 / macro-F1 — ref ``record_result_new``,
+        ``GPU Accelerator/utils.py:60-91``)."""
         features, labels = jax.tree.map(jnp.asarray, (features, labels))
-        hits, count = 0.0, 0.0
+        preds, ys = [], []
         for inp, out, blocks in loader:
             if fetch_fn is None:
                 x = jnp.take(features, blocks[0].src_ids, axis=0)
@@ -296,8 +306,10 @@ class MiniBatchTrainer:
                 x = fetch_fn(blocks[0].src_ids)
             logp = self.evaluate(state, tuple(blocks), x)
             y = np.asarray(jnp.take(labels, blocks[-1].dst_ids, axis=0))
-            m = np.asarray(blocks[-1].dst_mask)
+            m = np.asarray(blocks[-1].dst_mask).astype(bool)
             pred = np.asarray(logp).argmax(-1)
-            hits += float(((pred == y) * m).sum())
-            count += float(m.sum())
-        return hits / max(count, 1.0)
+            preds.append(pred[m])
+            ys.append(y[m])
+        if not preds:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(preds), np.concatenate(ys)

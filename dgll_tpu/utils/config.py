@@ -44,6 +44,7 @@ class TrainConfig:
     seed: int = 0
     dtype: str = "float32"
     checkpoint_dir: Optional[str] = None
+    resume: bool = False            # restore latest checkpoint before training
     log_file: Optional[str] = None
 
     # synthetic dataset knobs
@@ -85,6 +86,7 @@ def add_train_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--dtype", default=d.dtype)
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--log_file", default=None)
     p.add_argument("--n_node", type=int, default=d.n_node)
     p.add_argument("--avg_degree", type=int, default=d.avg_degree)
