@@ -1,13 +1,21 @@
-"""Products-scale end-to-end training epoch: host sampling + prefetch pipeline +
-jitted device steps, wall-clock per epoch (SURVEY.md §6 north star — the reference's
-flagship numbers are ogbn-products batch/training times, README.md:45).
+"""Products-scale end-to-end training epoch, sampling INCLUDED.
 
-Unlike bench.py (pre-sampled pool isolating the device step), this measures the
-WHOLE pipeline: the prefetch-threaded DataLoader samples on the host (C++ sampler)
-while the device trains, exactly how a user runs an epoch.
+Measures the number that matters (SURVEY.md §6 north star): wall-clock per
+batch for a full training epoch — sampling + feature gather + fwd/bwd +
+optimizer — against DGLL's best published ogbn-products batch time
+(6.12 ms, /root/reference/README.md:45, MQ-FastGCN+f+d on 1 GPU).
 
-Run on the TPU: ``python benchmarks/epoch_bench.py``; env: EB_NODES (default 2.4M),
-EB_DEG (default 25), EB_OUT.
+Two pipelines:
+
+* **device** (headline): graph CSR + features resident in HBM; sampling is a
+  jitted gather and the whole epoch is ONE ``lax.scan`` dispatch
+  (``dgll_tpu/train/device_pipeline.py``). Optional bf16 variant.
+* **host** (``EB_HOST=1``): the prefetch-threaded DataLoader samples on the
+  host (C++ sampler) while the device trains — the fallback for graphs larger
+  than HBM, and the closest analog of the reference's CPU-sampling pipeline.
+
+Run on the TPU: ``python benchmarks/epoch_bench.py``; env: EB_NODES (default
+2.4M), EB_DEG (default 25), EB_HOST, EB_BF16 (default 1), EB_OUT.
 """
 import json
 import os
@@ -24,14 +32,15 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from dgll_tpu.dataloader import DataLoader
     from dgll_tpu.nn import GraphSAGE
-    from dgll_tpu.sampling import HostGraph, NeighborSampler
-    from dgll_tpu.train import MiniBatchTrainer
+    from dgll_tpu.sampling import DeviceCSR, HostGraph, NeighborSampler
+    from dgll_tpu.train import DeviceEpochRunner, MiniBatchTrainer
 
     n_node = int(os.environ.get("EB_NODES", 2_400_000))
     avg_deg = int(os.environ.get("EB_DEG", 25))
     out_path = os.environ.get("EB_OUT", "")
+    run_host = os.environ.get("EB_HOST", "0") == "1"
+    run_bf16 = os.environ.get("EB_BF16", "1") == "1"
     batch, fanouts = 1024, [15, 10]
     feat_dim, hidden, n_class = 100, 256, 48
     train_frac = 0.08  # ogbn-products-like train split (196k/2.4M)
@@ -48,7 +57,6 @@ def main():
     from dgll_tpu import native
 
     indptr, src_s, _, _ = native.build_csr_apply(dst, src, None, n_node)
-    hg = HostGraph(indptr, src_s, n_node)
     print(f"[epoch] csr {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     feats = jnp.asarray(rng.standard_normal((n_node, feat_dim), dtype=np.float32))
@@ -58,50 +66,112 @@ def main():
     print(f"[epoch] features on device {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
 
-    sampler = NeighborSampler(fanouts, seed=0)
+    detail = {
+        "device": str(jax.devices()[0]),
+        "n_node": n_node, "n_edge": n_edge,
+        "train_nodes": len(train_nodes),
+        "batch": batch, "fanouts": fanouts,
+    }
+
+    def timed_epochs(fn, reps=2):
+        """fn() must return the epoch's loss; timing forces a VALUE transfer of
+        it (block_until_ready over a relay-attached device acks buffer
+        existence, not execution — only a D2H value read proves the epoch ran).
+        Returns (last rep seconds, last loss)."""
+        dt = loss = None
+        for _ in range(reps):
+            t = time.perf_counter()
+            loss = float(fn())
+            dt = time.perf_counter() - t
+            print(f"[epoch] measured {dt:.2f}s loss={loss:.4f}",
+                  file=sys.stderr, flush=True)
+        return dt, loss
+
+    # ---------------- device pipeline (headline): epoch = ONE dispatch
+    csr = DeviceCSR.from_host_arrays(indptr, src_s)
     model = GraphSAGE(hidden=hidden, n_class=n_class, dropout=0.0)
-    tr = MiniBatchTrainer(model, optax.adam(1e-3))
-    # device= moves the blocks' H2D into the producer thread, overlapping the
-    # transfer with the consumer's step dispatch
-    dev = jax.devices()[0]
-    loader = DataLoader(hg, train_nodes, sampler, batch, prefetch=4, seed=0,
-                        device=dev)
+    runner = DeviceEpochRunner(model, optax.adam(1e-3), csr, fanouts, batch,
+                               train_nodes, seed=0)
+    state = runner.init_state(feats)
+    state, loss = runner.run_epoch(state, feats, labels)
+    print(f"[epoch] device pipeline compiled {time.perf_counter()-t0:.1f}s "
+          f"(warmup loss {float(loss):.4f})", file=sys.stderr, flush=True)
 
-    # compile once outside the timed epoch
-    _, _, b0 = sampler.sample(hg, train_nodes[:batch], pad_to=batch)
-    x0 = jnp.take(feats, jnp.asarray(b0[0].src_ids), axis=0)
-    state = tr.init_state(b0, x0)
-    state, loss, _ = tr.run_epoch(
-        state, DataLoader(hg, train_nodes[: 2 * batch], sampler, batch, seed=1),
-        feats, labels)
-    print(f"[epoch] compiled {time.perf_counter()-t0:.1f}s", file=sys.stderr,
-          flush=True)
+    def dev_epoch():
+        nonlocal state
+        state, loss = runner.run_epoch(state, feats, labels)
+        return loss
 
-    # two measured epochs; report the second (first-epoch allocator/relay
-    # warm-up measurably contaminates the first at this scale)
-    epoch_s = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        state, loss, _ = tr.run_epoch(state, loader, feats, labels)
-        jax.block_until_ready(state.params)
-        epoch_s = time.perf_counter() - t0
-        print(f"[epoch] measured {epoch_s:.2f}s", file=sys.stderr, flush=True)
-    n_batches = len(loader)
+    dev_s, dev_loss = timed_epochs(dev_epoch)
+    n_batches = runner.n_batches
+    dev_ms = dev_s / n_batches * 1e3
+    detail["device_pipeline"] = {
+        "epoch_s": round(dev_s, 3), "n_batches": n_batches,
+        "batch_ms_incl_sampling": round(dev_ms, 3),
+        "loss": round(dev_loss, 4),
+        "vs_dgll_products_batch": round(6.12 / dev_ms, 2),
+    }
 
-    batch_ms = epoch_s / n_batches * 1e3
+    # ---------------- bf16 device pipeline
+    if run_bf16:
+        model16 = GraphSAGE(hidden=hidden, n_class=n_class, dropout=0.0,
+                            dtype=jnp.bfloat16)
+        runner16 = DeviceEpochRunner(model16, optax.adam(1e-3), csr, fanouts,
+                                     batch, train_nodes, seed=0,
+                                     feat_dtype=jnp.bfloat16)
+        state16 = runner16.init_state(feats)
+        state16, l16 = runner16.run_epoch(state16, feats, labels)
+        float(l16)
+
+        def dev16_epoch():
+            nonlocal state16
+            state16, loss = runner16.run_epoch(state16, feats, labels)
+            return loss
+
+        b16_s, b16_loss = timed_epochs(dev16_epoch)
+        b16_ms = b16_s / n_batches * 1e3
+        detail["device_pipeline_bf16"] = {
+            "epoch_s": round(b16_s, 3),
+            "batch_ms_incl_sampling": round(b16_ms, 3),
+            "loss": round(b16_loss, 4),
+            "vs_dgll_products_batch": round(6.12 / b16_ms, 2),
+        }
+
+    # ---------------- host pipeline (fallback for >HBM graphs)
+    if run_host:
+        hg = HostGraph(indptr, src_s, n_node)
+        sampler = NeighborSampler(fanouts, seed=0)
+        tr = MiniBatchTrainer(model, optax.adam(1e-3))
+        dev = jax.devices()[0]
+        from dgll_tpu.dataloader import DataLoader
+
+        loader = DataLoader(hg, train_nodes, sampler, batch, prefetch=4, seed=0,
+                            device=dev, n_producers=2)
+        _, _, b0 = sampler.sample(hg, train_nodes[:batch], pad_to=batch)
+        x0 = jnp.take(feats, jnp.asarray(b0[0].src_ids), axis=0)
+        hstate = tr.init_state(b0, x0)
+        hstate, _, _ = tr.run_epoch(
+            hstate, DataLoader(hg, train_nodes[: 2 * batch], sampler, batch, seed=1),
+            feats, labels)
+
+        def host_epoch():
+            nonlocal hstate
+            hstate, l, _ = tr.run_epoch(hstate, loader, feats, labels)
+            return l  # run_epoch already syncs the loss total
+
+        host_s, _ = timed_epochs(host_epoch)
+        host_ms = host_s / len(loader) * 1e3
+        detail["host_pipeline"] = {
+            "epoch_s": round(host_s, 3), "n_batches": len(loader),
+            "batch_ms_incl_sampling": round(host_ms, 3),
+            "vs_dgll_products_batch": round(6.12 / host_ms, 2),
+        }
+
     results = {
         "metric": "products_scale_epoch",
-        "value": round(epoch_s, 2),
+        "value": round(dev_s, 2),
         "unit": "s",
-        "detail": {
-            "device": str(jax.devices()[0]),
-            "n_node": n_node, "n_edge": n_edge,
-            "train_nodes": len(train_nodes), "n_batches": n_batches,
-            "batch_ms_incl_sampling": round(batch_ms, 3),
-            "loss": round(float(loss), 4),
-            # DGLL's best published products batch time (1 GPU, README.md:45)
-            "vs_dgll_products_batch": round(6.12 / batch_ms, 2),
-        },
+        "detail": detail,
     }
     print(json.dumps(results))
     if out_path:

@@ -402,6 +402,53 @@ void dgll_sort_rows(const int64_t* indptr, int64_t n, int64_t* vals) {
     });
 }
 
-int dgll_abi_version() { return 2; }
+// Fused multi-layer block sampling — ONE call builds a whole minibatch.
+//
+// The per-batch host path used to be L sample calls + numpy concat/astype
+// passes per layer (the cost the reference pays per batch too,
+// base_sampler.py:30-58 + dgllsampler.py:14-19); at products scale that keeps
+// a 2-core host from feeding the TPU. Here the frontier is ONE growing int32
+// buffer: frontier_k = ids[0:n_k], layer k's samples land at
+// ids[n_k : n_k*(1+f_k)], so every Block is a zero-copy view.
+//
+// ids/mask must be preallocated with n_final entries and ids[0:b]/mask[0:b]
+// prefilled with the (padded) seeds. Nodes outside [lo, hi) alias their
+// destination with mask 0 (community-restricted sampling; pass 0/INT64_MAX
+// for unrestricted). fanouts[k] is applied in the given order (callers pass
+// reversed(fanouts), matching NeighborSampler's innermost-first growth).
+void dgll_sample_block_fused(const int64_t* indptr, const int64_t* nbrs,
+                             const int64_t* fanouts, int64_t n_layers, int64_t b,
+                             int64_t lo_id, int64_t hi_id, uint64_t seed,
+                             int32_t* ids, uint8_t* mask) {
+    int64_t n = b;
+    for (int64_t k = 0; k < n_layers; ++k) {
+        const int64_t f = fanouts[k];
+        parallel_for(n, 2048, [&](int64_t lo, int64_t hi, int w) {
+            Rng rng(seed * 0x100000001b3ULL + (uint64_t)(k * 131 + w) * 0x9e3779b9ULL + lo);
+            for (int64_t i = lo; i < hi; ++i) {
+                const int64_t v = ids[i];
+                const int64_t d0 = indptr[v], deg = indptr[v + 1] - d0;
+                const bool ok = mask[i] && deg > 0;
+                int32_t* out = ids + n + i * f;
+                uint8_t* om = mask + n + i * f;
+                for (int64_t j = 0; j < f; ++j) {
+                    if (ok) {
+                        int64_t u = nbrs[d0 + (int64_t)rng.bounded((uint64_t)deg)];
+                        if (u >= lo_id && u < hi_id) {
+                            out[j] = (int32_t)u;
+                            om[j] = 1;
+                            continue;
+                        }
+                    }
+                    out[j] = (int32_t)v;
+                    om[j] = 0;
+                }
+            }
+        });
+        n += n * f;
+    }
+}
+
+int dgll_abi_version() { return 3; }
 
 }  // extern "C"

@@ -40,9 +40,12 @@ class DataLoader:
         seed: int = 0,
         num_shards: int = 1,
         shard_index: int = 0,
+        n_producers: int = 1,
     ):
         """``num_shards``/``shard_index`` give per-rank seed sharding (the reference's
-        ``use_ddp=True`` dataloader split, ``MQGCN.py:121``)."""
+        ``use_ddp=True`` dataloader split, ``MQGCN.py:121``). ``n_producers`` > 1
+        samples batches on several host threads concurrently (the C++ sampler
+        releases the GIL); batch order is then nondeterministic within an epoch."""
         self.host_g = g if isinstance(g, HostGraph) else HostGraph.from_graph(g)
         self.seeds = np.asarray(seeds, np.int64)
         if num_shards > 1:
@@ -53,6 +56,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = max(int(prefetch), 0)
         self.device = device
+        self.n_producers = max(int(n_producers), 1)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -81,23 +85,34 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
         err: list = []
+        n_prod = self.n_producers
+        work = iter(list(self._batches()))
+        work_lock = threading.Lock()
 
         def producer():
             try:
-                for bs in self._batches():
+                while True:
+                    with work_lock:
+                        bs = next(work, None)
+                    if bs is None:
+                        return
                     q.put(self._make(bs))
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
                 q.put(_SENTINEL)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
+        threads = [threading.Thread(target=producer, daemon=True) for _ in range(n_prod)]
+        for t in threads:
+            t.start()
+        done = 0
+        while done < n_prod:
             item = q.get()
             if item is _SENTINEL:
-                break
+                done += 1
+                continue
             yield item
-        t.join()
+        for t in threads:
+            t.join()
         if err:
             raise err[0]

@@ -52,7 +52,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         # copied in with a fresh mtime) must fall back to numpy, not raise
         try:
             lib.dgll_abi_version.restype = ctypes.c_int
-            if lib.dgll_abi_version() != 2:
+            if lib.dgll_abi_version() != 3:
                 return None
         except (OSError, AttributeError):
             return None
@@ -84,6 +84,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p,
         ]
         lib.dgll_sort_rows.argtypes = [i64p, ctypes.c_int64, i64p]
+        lib.dgll_sample_block_fused.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, i32p, u8p,
+        ]
         _lib = lib
         return _lib
 
@@ -178,6 +182,51 @@ def _np_walks(indptr, nbrs, starts, L, seed):
         cur = np.where(deg > 0, nxt, cur)
         walks[:, t] = cur
     return walks
+
+
+def sample_block_fused(
+    indptr: np.ndarray,
+    nbrs: np.ndarray,
+    seeds: np.ndarray,
+    seed_mask: np.ndarray,
+    fanouts_innermost_first,
+    seed: int,
+    lo: int = 0,
+    hi: Optional[int] = None,
+    out_ids: Optional[np.ndarray] = None,
+    out_mask: Optional[np.ndarray] = None,
+):
+    """One C++ call samples every layer of a minibatch (frontier-growth layout).
+
+    ``fanouts_innermost_first`` is the order the frontier grows in — i.e.
+    ``reversed(model_fanouts)``. Returns ``(ids int32 [n_final], mask uint8
+    [n_final], sizes)`` where ``sizes[k]`` is the frontier length after k
+    layers (``sizes[0] == len(seeds)``); layer k's Block views are slices of
+    ``ids``/``mask``. ``out_ids``/``out_mask`` allow buffer reuse across
+    batches. Returns None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    b = len(seeds)
+    fo = np.ascontiguousarray(list(fanouts_innermost_first), np.int64)
+    sizes = [b]
+    for f in fo:
+        sizes.append(sizes[-1] * (1 + int(f)))
+    n_final = sizes[-1]
+    ids = out_ids if out_ids is not None and len(out_ids) >= n_final else np.empty(n_final, np.int32)
+    mask = out_mask if out_mask is not None and len(out_mask) >= n_final else np.empty(n_final, np.uint8)
+    ids[:b] = seeds
+    mask[:b] = seed_mask
+    lib.dgll_sample_block_fused(
+        _p64(np.ascontiguousarray(indptr, np.int64)),
+        _p64(np.ascontiguousarray(nbrs, np.int64)),
+        _p64(fo), len(fo), b,
+        int(lo), int(np.iinfo(np.int64).max if hi is None else hi),
+        seed & 0xFFFFFFFFFFFFFFFF,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _pu8(mask),
+    )
+    return ids, mask, sizes
 
 
 def remap(mapping: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -5,6 +5,12 @@ from dgll_tpu.sampling.base import (
     SparseBlock,
     sample_neighbors_padded,
 )
+from dgll_tpu.sampling.device_sampler import (
+    DeviceCSR,
+    DeviceNeighborSampler,
+    sample_blocks_device,
+    sample_layer_device,
+)
 from dgll_tpu.sampling.layerwise import (
     FastGCNSampler,
     LadiesSampler,
@@ -26,6 +32,10 @@ __all__ = [
     "NeighborSampler",
     "CommunityNeighborSampler",
     "DGLLNeighborSampler",
+    "DeviceCSR",
+    "DeviceNeighborSampler",
+    "sample_blocks_device",
+    "sample_layer_device",
     "FastGCNSampler",
     "LadiesSampler",
     "normalized_laplacian",

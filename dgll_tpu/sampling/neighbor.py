@@ -5,21 +5,57 @@ Semantics: iterate fanouts outermost-first in the returned list (``fanouts[0]`` 
 block nearest the raw input features, exactly as the reference builds by inserting at
 the front while iterating ``reversed(fanouts)``). Every block is fanout-dense and
 statically shaped, so the jitted train step never recompiles across batches.
+
+Hot path: the whole multi-layer batch is ONE native call
+(``dgll_sample_block_fused``, csrc/graph_kernels.cpp) writing the frontier-growth
+buffer in place; every Block is a zero-copy view of it. The pure-numpy per-layer
+path remains as the no-toolchain fallback.
 """
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
+from dgll_tpu import native
 from dgll_tpu.sampling.base import BaseSampler, Block, HostGraph, sample_neighbors_padded
+
+
+def _blocks_from_fused(ids, mask, sizes, fanouts) -> List[Block]:
+    """Wrap the fused buffer into outermost-first Blocks (zero-copy views).
+
+    ``fanouts`` is model order; the buffer grew innermost-first, so layer k of
+    the growth (fanout ``reversed(fanouts)[k]``) becomes ``blocks[-1-k]``.
+    """
+    blocks: List[Block] = []
+    for k, fanout in enumerate(reversed(list(fanouts))):
+        n_k = sizes[k]
+        blocks.insert(
+            0,
+            Block(
+                dst_ids=ids[:n_k],
+                src_ids=ids[: sizes[k + 1]],
+                neigh_mask=mask[n_k : sizes[k + 1]].reshape(n_k, fanout).view(np.bool_),
+                dst_mask=mask[:n_k].view(np.bool_),
+                fanout=int(fanout),
+                n_dst=int(n_k),
+            ),
+        )
+    return blocks
 
 
 class NeighborSampler(BaseSampler):
     def __init__(self, fanouts: Sequence[int], seed: int = 0):
         self.fanouts = [int(f) for f in fanouts]
         self._rng = np.random.default_rng(seed)
+        # multi-producer DataLoaders call sample() concurrently; Generator
+        # isn't thread-safe, so the per-batch seed draw takes this lock
+        self._rng_lock = threading.Lock()
+
+    # community ranges (CommunityNeighborSampler overrides)
+    _lo: int = 0
+    _hi: Optional[int] = None
 
     def sample(
         self,
@@ -36,15 +72,41 @@ class NeighborSampler(BaseSampler):
         """
         seeds = np.asarray(seeds, np.int64)
         b = len(seeds) if pad_to is None else int(pad_to)
-        dst_ids = np.zeros(b, np.int64)
+        pad_value = self._lo  # 0 for unrestricted; community lo keeps ids in range
+        dst_ids = np.full(b, pad_value, np.int64)
         dst_ids[: len(seeds)] = seeds
         dst_mask = np.zeros(b, bool)
         dst_mask[: len(seeds)] = True
 
+        with self._rng_lock:
+            batch_seed = int(self._rng.integers(0, 2**63 - 1))
+        fused = native.sample_block_fused(
+            g.indptr, g.src, dst_ids, dst_mask,
+            list(reversed(self.fanouts)), batch_seed,
+            lo=self._lo, hi=self._hi,
+        )
+        if fused is not None:
+            ids, mask, sizes = fused
+            blocks = _blocks_from_fused(ids, mask, sizes, self.fanouts)
+            input_nodes = (
+                np.asarray(blocks[0].src_ids, np.int64) if blocks else dst_ids
+            )
+            return input_nodes, dst_ids, blocks
+
+        # numpy fallback: per-layer sampling + concat growth (fresh per-batch
+        # Generator so concurrent producers never share RNG state)
+        rng = np.random.default_rng(batch_seed)
         blocks: List[Block] = []
         frontier, fmask = dst_ids, dst_mask
         for fanout in reversed(self.fanouts):
-            sampled, smask = sample_neighbors_padded(g, frontier, fmask, fanout, self._rng)
+            sampled, smask = sample_neighbors_padded(g, frontier, fmask, fanout, rng)
+            if self._hi is not None or self._lo:
+                hi = np.iinfo(np.int64).max if self._hi is None else self._hi
+                in_range = (sampled >= self._lo) & (sampled < hi)
+                # out-of-range neighbours alias their destination (weight-0 via
+                # the mask), so every id a batch touches stays inside [lo, hi)
+                sampled = np.where(in_range, sampled, frontier[:, None])
+                smask &= in_range
             # Keep leaves as host numpy: samplers are host-side producers; arrays move
             # to device in one batch at jit-call time (avoids per-array tunnel chatter
             # and any device round-trip during sampling).
@@ -85,38 +147,9 @@ class CommunityNeighborSampler(NeighborSampler):
                  seed: int = 0):
         super().__init__(fanouts, seed)
         self.lo, self.hi = int(community_range[0]), int(community_range[1])
+        self._lo, self._hi = self.lo, self.hi
 
     def sample(self, g: HostGraph, seeds: np.ndarray, pad_to: Optional[int] = None):
         seeds = np.asarray(seeds, np.int64)
         assert ((seeds >= self.lo) & (seeds < self.hi)).all(), "seeds outside community"
-        b = len(seeds) if pad_to is None else int(pad_to)
-        dst_ids = np.full(b, self.lo, np.int64)
-        dst_ids[: len(seeds)] = seeds
-        dst_mask = np.zeros(b, bool)
-        dst_mask[: len(seeds)] = True
-
-        blocks: List[Block] = []
-        frontier, fmask = dst_ids, dst_mask
-        for fanout in reversed(self.fanouts):
-            sampled, smask = sample_neighbors_padded(g, frontier, fmask, fanout, self._rng)
-            in_range = (sampled >= self.lo) & (sampled < self.hi)
-            # out-of-range neighbours alias their destination (weight-0 via the mask),
-            # so every id a batch touches stays inside [lo, hi)
-            sampled = np.where(in_range, sampled, frontier[:, None])
-            smask &= in_range
-            blocks.insert(
-                0,
-                Block(
-                    dst_ids=frontier.astype(np.int32),
-                    src_ids=np.concatenate([frontier, sampled.reshape(-1)]).astype(np.int32),
-                    neigh_mask=smask,
-                    dst_mask=fmask,
-                    fanout=fanout,
-                    n_dst=frontier.shape[0],
-                ),
-            )
-            frontier = np.concatenate([frontier, sampled.reshape(-1)])
-            fmask = np.concatenate([fmask, smask.reshape(-1)])
-
-        input_nodes = np.asarray(blocks[0].src_ids, np.int64) if blocks else dst_ids
-        return input_nodes, dst_ids, blocks
+        return super().sample(g, seeds, pad_to)

@@ -9,6 +9,7 @@ from dgll_tpu.train.metrics import (
     micro_f1,
     roc_auc,
 )
+from dgll_tpu.train.device_pipeline import DeviceEpochRunner, make_device_epoch_fn
 from dgll_tpu.train.pipeline import MQTrainer, PipelinedTrainer
 from dgll_tpu.train.trainer import (
     FullBatchTrainer,
@@ -41,4 +42,6 @@ __all__ = [
     "make_full_batch_eval",
     "make_block_step",
     "make_block_eval",
+    "DeviceEpochRunner",
+    "make_device_epoch_fn",
 ]

@@ -1,0 +1,152 @@
+"""Fully device-resident minibatch training: sampling + feature gather + step,
+one XLA program per epoch.
+
+This is the TPU-native end-state of the reference's MQ-GNN pipeline
+(``/root/reference/dgll/GPU Accelerator/buffer_queues.py:22-119`` +
+``MQGCN.py:94-163``). The reference hides CPU-sampling latency behind CUDA
+streams and bounded queues; here there is nothing to hide — the graph CSR,
+features, and labels live in HBM, each batch's fanout sample is a few gathers
+(``sampling/device_sampler.py``), and ``lax.scan`` strings the whole epoch into
+a single dispatch. On a remote-attached TPU this removes every per-batch host
+round-trip; on any TPU it removes the host producer as a bottleneck entirely.
+
+HBM budget: products-scale (2.4 M nodes, 100-d float32 feats, 60 M edges) is
+~1.2 GB — comfortably resident. For graphs that exceed HBM, the host-side
+``DataLoader`` (+ C++ fused block sampler) path remains the fallback.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dgll_tpu.sampling.device_sampler import DeviceCSR, sample_blocks_device
+from dgll_tpu.train.metrics import masked_nll_loss
+from dgll_tpu.train.trainer import TrainState, create_train_state
+
+
+def make_device_epoch_fn(
+    fanouts: Sequence[int],
+    batch_size: int,
+    n_batches: int,
+    loss_fn: Callable = masked_nll_loss,
+    feat_dtype=None,
+):
+    """Build ``epoch(state, csr, feats, labels, seeds, seed_mask, key)``.
+
+    ``seeds``/``seed_mask`` are [n_batches * batch_size] padded device arrays;
+    the function shuffles them (one permutation per epoch), scans the batches,
+    and returns ``(state, mean_loss)``. Everything, including the uniform
+    neighbour sampling, runs inside one jitted program — the epoch is a single
+    dispatch from the host.
+    """
+    fanouts = [int(f) for f in fanouts]
+    total = int(n_batches) * int(batch_size)
+
+    # NOTE: no buffer donation here — donated outputs alias their inputs, which
+    # makes ``block_until_ready`` on the new state a no-op on relay-attached
+    # devices (the aliased buffer is already "ready"), breaking timing and
+    # backpressure. The state copy is trivia next to the epoch's compute.
+    @jax.jit
+    def epoch(state: TrainState, csr: DeviceCSR, feats, labels, seeds, seed_mask, key):
+        kperm, kscan = jax.random.split(key)
+        order = jax.random.permutation(kperm, total)
+        seeds_s = jnp.take(seeds, order)
+        mask_s = jnp.take(seed_mask, order)
+
+        def body(carry, i):
+            st, k = carry
+            k, ks, kd = jax.random.split(k, 3)
+            off = i * batch_size
+            bs = jax.lax.dynamic_slice(seeds_s, (off,), (batch_size,))
+            bm = jax.lax.dynamic_slice(mask_s, (off,), (batch_size,))
+            _, out, blocks = sample_blocks_device(csr, bs, bm, fanouts, ks)
+            x = jnp.take(feats, blocks[0].src_ids, axis=0)
+            if feat_dtype is not None:
+                x = x.astype(feat_dtype)
+            y = jnp.take(labels, blocks[-1].dst_ids, axis=0)
+
+            def loss_of(params):
+                logp = st.apply_fn(
+                    {"params": params}, list(blocks), x, deterministic=False,
+                    rngs={"dropout": kd},
+                )
+                return loss_fn(logp, y, blocks[-1].dst_mask)
+
+            loss, grads = jax.value_and_grad(loss_of)(st.params)
+            return (st.apply_gradients(grads=grads), k), loss
+
+        (state2, _), losses = jax.lax.scan(
+            body, (state, kscan), jnp.arange(n_batches)
+        )
+        return state2, losses.mean()
+
+    return epoch
+
+
+class DeviceEpochRunner:
+    """Convenience driver around :func:`make_device_epoch_fn`.
+
+    Usage::
+
+        runner = DeviceEpochRunner(model, optax.adam(1e-3), csr, fanouts=[15, 10],
+                                   batch_size=1024, train_nodes=train_nodes)
+        state = runner.init_state(feats)
+        state, loss = runner.run_epoch(state, feats, labels)
+
+    ``feats``/``labels`` must be device arrays covering all ``csr.n_node`` rows.
+    """
+
+    def __init__(
+        self,
+        model,
+        optimizer,
+        csr: DeviceCSR,
+        fanouts: Sequence[int],
+        batch_size: int,
+        train_nodes,
+        loss_fn: Callable = masked_nll_loss,
+        seed: int = 0,
+        feat_dtype=None,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.csr = csr
+        self.fanouts = [int(f) for f in fanouts]
+        self.batch_size = int(batch_size)
+        train_nodes = np.asarray(train_nodes, np.int64)
+        self.n_batches = max(1, -(-len(train_nodes) // self.batch_size))
+        total = self.n_batches * self.batch_size
+        seeds = np.zeros(total, np.int32)
+        seeds[: len(train_nodes)] = train_nodes
+        mask = np.zeros(total, bool)
+        mask[: len(train_nodes)] = True
+        self.seeds = jnp.asarray(seeds)
+        self.seed_mask = jnp.asarray(mask)
+        self.rng = jax.random.key(seed)
+        self.epoch_fn = make_device_epoch_fn(
+            self.fanouts, self.batch_size, self.n_batches, loss_fn, feat_dtype
+        )
+        self._feat_dtype = feat_dtype
+
+    def init_state(self, feats) -> TrainState:
+        self.rng, kinit, ks = jax.random.split(self.rng, 3)
+        seeds = jnp.arange(self.batch_size, dtype=jnp.int32) % max(self.csr.n_node, 1)
+        _, _, blocks = sample_blocks_device(
+            self.csr, seeds, jnp.ones(self.batch_size, bool), self.fanouts, ks
+        )
+        x = jnp.take(jnp.asarray(feats), blocks[0].src_ids, axis=0)
+        if self._feat_dtype is not None:
+            x = x.astype(self._feat_dtype)
+        return create_train_state(self.model, kinit, self.optimizer, list(blocks), x)
+
+    def run_epoch(self, state: TrainState, feats, labels):
+        self.rng, k = jax.random.split(self.rng)
+        state, loss = self.epoch_fn(
+            state, self.csr, feats, labels, self.seeds, self.seed_mask, k
+        )
+        return state, loss
