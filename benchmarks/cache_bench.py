@@ -38,28 +38,43 @@ def main():
     n_edge = n_node * avg_deg
     w = (np.arange(n_node, dtype=np.float64) + 1.0) ** (-1.0)
     cdf = np.cumsum(w); cdf /= cdf[-1]
-    dst = np.sort(np.searchsorted(cdf, rng.random(n_edge)).astype(np.int64))
-    src = rng.integers(0, n_node, n_edge)
-    indptr = np.zeros(n_node + 1, np.int64)
-    np.add.at(indptr, dst + 1, 1)
-    indptr = np.cumsum(indptr)
-    hg = HostGraph(indptr, src, n_node)
+
+    def build_graph(access):
+        """access='uniform': neighbours drawn uniformly (cache-adversarial);
+        'powerlaw': hub nodes dominate as neighbours (the cache's premise —
+        top-out-degree rows serve most lookups, ref storage.py:94-98)."""
+        if access == "powerlaw":
+            src_ = np.searchsorted(cdf, rng.random(n_edge)).astype(np.int64)
+            dst_ = rng.integers(0, n_node, n_edge)
+        else:
+            dst_ = np.searchsorted(cdf, rng.random(n_edge)).astype(np.int64)
+            src_ = rng.integers(0, n_node, n_edge)
+        dst_ = np.sort(dst_)
+        indptr = np.zeros(n_node + 1, np.int64)
+        np.add.at(indptr, dst_ + 1, 1)
+        return HostGraph(np.cumsum(indptr), src_, n_node), np.bincount(src_, minlength=n_node)
+
     host_feats = rng.standard_normal((n_node, feat_dim), dtype=np.float32)
     labels = jnp.asarray(rng.integers(0, n_class, n_node).astype(np.int32))
-    out_degree = np.bincount(src, minlength=n_node)
 
     sampler = NeighborSampler(fanouts, seed=0)
-    pool = []
-    for _ in range(n_batches):
-        seeds = rng.integers(0, n_node, batch)
-        _, _, blocks = sampler.sample(hg, seeds, pad_to=batch)
-        pool.append(tuple(blocks))
 
     model = GraphSAGE(hidden=256, n_class=n_class, dropout=0.0)
     tr = MiniBatchTrainer(model, optax.adam(1e-3))
-    x0 = jnp.asarray(host_feats[np.asarray(pool[0][0].src_ids)])
-    state0 = tr.init_state(list(pool[0]), x0)
+    pool = []
+    state0 = None
     key = jax.random.key(0)
+
+    def build_pool(hg):
+        nonlocal pool, state0
+        pool = []
+        for _ in range(n_batches):
+            seeds = rng.integers(0, n_node, batch)
+            _, _, blocks = sampler.sample(hg, seeds, pad_to=batch)
+            pool.append(tuple(blocks))
+        if state0 is None:
+            x0 = jnp.asarray(host_feats[np.asarray(pool[0][0].src_ids)])
+            state0 = tr.init_state(list(pool[0]), x0)
 
     def epoch_time(fetch, reps=3):
         nonlocal state0
@@ -83,26 +98,32 @@ def main():
     results = {"device": str(jax.devices()[0]), "n_node": n_node,
                "feat_dim": feat_dim, "batch": batch, "fanouts": fanouts}
 
+    hg, out_degree = build_graph("uniform")
+    build_pool(hg)
     # device-resident ideal
     feats_dev = jnp.asarray(host_feats)
     results["device_resident_ms"] = round(
         epoch_time(lambda ids: jnp.take(feats_dev, jnp.asarray(ids), axis=0)), 3)
     del feats_dev
 
-    for frac in (0.0, 0.25, 1.0):
-        cache = HBMFeatureCache(host_feats)
-        if frac > 0:
-            k = int(frac * n_node)
-            cache.fill(np.argpartition(-out_degree, k - 1)[:k])
-        cache.reset_counters()
-        ms = epoch_time(lambda ids: cache.fetch(np.asarray(ids)))
-        rate, lookups, misses = cache.miss_rate()
-        results[f"cache_{int(frac*100)}pct"] = {
-            "ms_per_batch": round(ms, 3),
-            "miss_rate": round(rate, 4),
-            "lookups": int(lookups),
-        }
-        print(f"cache {frac:4.0%}: {ms:8.2f} ms/batch  miss={rate:.2%}", flush=True)
+    for access in ("uniform", "powerlaw"):
+        hg, out_degree = build_graph(access)
+        build_pool(hg)
+        for frac in (0.0, 0.25, 1.0):
+            cache = HBMFeatureCache(host_feats)
+            if frac > 0:
+                k = int(frac * n_node)
+                cache.fill(np.argpartition(-out_degree, k - 1)[:k])
+            cache.reset_counters()
+            ms = epoch_time(lambda ids: cache.fetch(np.asarray(ids)))
+            rate, lookups, misses = cache.miss_rate()
+            results[f"{access}_cache_{int(frac*100)}pct"] = {
+                "ms_per_batch": round(ms, 3),
+                "miss_rate": round(rate, 4),
+                "lookups": int(lookups),
+            }
+            print(f"{access} cache {frac:4.0%}: {ms:8.2f} ms/batch  "
+                  f"miss={rate:.2%}", flush=True)
 
     print(json.dumps(results))
     if out_path:

@@ -112,6 +112,29 @@ def main():
         "vs_dgll_products_batch": round(6.12 / dev_ms, 2),
     }
 
+    # ---------------- block-window sampling (one CSR window row per node —
+    # XLA's gather costs ~4 ns/ROW, so this cuts sampling gathers by the fanout)
+    if os.environ.get("EB_WINDOW", "1") == "1":
+        runner_w = DeviceEpochRunner(model, optax.adam(1e-3), csr, fanouts,
+                                     batch, train_nodes, seed=0, window=True)
+        state_w = runner_w.init_state(feats)
+        state_w, lw = runner_w.run_epoch(state_w, feats, labels)
+        float(lw)
+
+        def devw_epoch():
+            nonlocal state_w
+            state_w, loss = runner_w.run_epoch(state_w, feats, labels)
+            return loss
+
+        w_s, w_loss = timed_epochs(devw_epoch)
+        w_ms = w_s / n_batches * 1e3
+        detail["device_pipeline_window"] = {
+            "epoch_s": round(w_s, 3),
+            "batch_ms_incl_sampling": round(w_ms, 3),
+            "loss": round(w_loss, 4),
+            "vs_dgll_products_batch": round(6.12 / w_ms, 2),
+        }
+
     # ---------------- bf16 device pipeline
     if run_bf16:
         model16 = GraphSAGE(hidden=hidden, n_class=n_class, dropout=0.0,

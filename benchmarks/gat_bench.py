@@ -1,0 +1,80 @@
+"""GAT attention-layer benchmark: compiled Pallas kernel path vs XLA segment ops,
+on the real chip, with numerical agreement checked (VERDICT r2 #4).
+
+Measures the full sparse attention layer (scores -> edge softmax -> weighted
+aggregation) for multi-head configs including the reference's canonical
+8-head x 8-dim (``/root/reference/dgll/nn/Convolution/gatconv.py:174-199``),
+which reaches the kernel via per-head zero-padding.
+
+Run on the TPU: ``python benchmarks/gat_bench.py``; env: GB_NODES, GB_DEG, GB_OUT.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from timing import chain_time  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dgll_tpu.data import gcn_normalize, synthetic_classification_graph
+    from dgll_tpu.nn.conv import GATConv
+
+    n_node = int(os.environ.get("GB_NODES", 200_000))
+    avg_deg = int(os.environ.get("GB_DEG", 16))
+    out_path = os.environ.get("GB_OUT", "")
+
+    g = synthetic_classification_graph(n_node=n_node, avg_degree=avg_deg,
+                                       n_class=8, feat_dim=64, seed=0)
+    g = gcn_normalize(g)
+    gc = g.with_chunked(eb=512).to_device()
+    gp = gc.replace(chunked=None, chunked_t=None)
+    x = jnp.asarray(np.asarray(g.node_feat))
+
+    results = {"device": str(jax.devices()[0]), "n_node": n_node,
+               "n_edge": g.n_real_edge}
+
+    for H, F, tag in ((8, 16, "8h x 16d (H*F=128)"), (8, 8, "8h x 8d (ref config, padded)")):
+        conv = GATConv(features=F, num_heads=H)
+        params = conv.init(jax.random.key(0), gc, x)
+
+        # x feeds back (summed into a column) so chain_time's dependent chain works
+        def f_kernel(xi):
+            return conv.apply(params, gc, xi)[:, :1] * 0.01 + xi
+
+        def f_xla(xi):
+            return conv.apply(params, gp, xi)[:, :1] * 0.01 + xi
+
+        # agreement first (single eval, not chained)
+        ok = np.allclose(np.asarray(conv.apply(params, gc, x)),
+                         np.asarray(conv.apply(params, gp, x)),
+                         rtol=2e-3, atol=2e-3)
+
+        dt_k = chain_time(jax.jit(f_kernel), x)
+        dt_x = chain_time(jax.jit(f_xla), x)
+        key = f"gat_{H}h{F}d"
+        results[key] = {
+            "label": tag,
+            "kernel_ms": round(dt_k * 1e3, 2),
+            "xla_ms": round(dt_x * 1e3, 2),
+            "speedup": round(dt_x / dt_k, 2),
+            "medges_per_s_kernel": round(g.n_real_edge / dt_k / 1e6, 1),
+            "matches_xla": bool(ok),
+        }
+        print(f"{key} ({tag}): kernel {dt_k*1e3:.2f} ms vs XLA {dt_x*1e3:.2f} ms "
+              f"({dt_x/dt_k:.2f}x) agree={ok}", flush=True)
+
+    print(json.dumps(results))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,34 +58,54 @@ def main():
                                   "medges_per_s": round(n_edge / dt / 1e6, 1)}
     print(f"segment_sum: {dt*1e3:8.2f} ms  {n_edge/dt/1e6:6.0f}M edges/s", flush=True)
 
+    # Roofline reference for the OP itself (gather-inclusive speed-of-light):
+    # the minimum HBM traffic any implementation must move = one read of the
+    # gathered source rows (E_pad rows) + one write of the output — the
+    # intermediate message matrix is implementation overhead, not fundamental.
     for eb in (256, 512):
-        c = chunked_to_device(build_chunked(src, dst, n_node, n_node, ew, eb=eb))
-        csrc = jnp.asarray(np.asarray(c.src)[: c.n_chunk].reshape(-1))
+        for msg_dt, tag in ((jnp.float32, ""), (jnp.bfloat16, "_bf16msg")):
+            c = chunked_to_device(build_chunked(src, dst, n_node, n_node, ew, eb=eb))
+            csrc = jnp.asarray(np.asarray(c.src)[: c.n_chunk].reshape(-1))
+            itemsize = jnp.dtype(msg_dt).itemsize
 
-        f_pal = jax.jit(
-            lambda x: spmm_chunked_pallas(c, jnp.take(x, csrc, axis=0))[:n_node] * 0.5
-        )
-        dt_p = chain_time(f_pal, x0)
+            f_pal = jax.jit(
+                lambda x: spmm_chunked_pallas(
+                    c, jnp.take(x.astype(msg_dt), csrc, axis=0),
+                    out_dtype=jnp.float32)[:n_node] * 0.5
+            )
+            dt_p = chain_time(f_pal, x0)
 
-        f_g = jax.jit(lambda x: jnp.take(x, csrc, axis=0)[:n_node] * 0.5)
-        dt_g = chain_time(f_g, x0)
+            f_g = jax.jit(
+                lambda x: jnp.take(x.astype(msg_dt), csrc, axis=0)[:n_node]
+                .astype(jnp.float32) * 0.5
+            )
+            dt_g = chain_time(f_g, x0)
 
-        pad = c.n_chunk * c.eb / n_edge
-        # traffic: gather read+write of the padded message matrix, kernel re-read,
-        # output write
-        bytes_moved = (3 * c.n_chunk * c.eb + n_node) * feat_dim * 4
-        sol_frac = bytes_moved / dt_p / 1e9 / HBM_GBPS
-        results[f"pallas_eb{eb}"] = {
-            "ms": round(dt_p * 1e3, 2),
-            "medges_per_s": round(n_edge / dt_p / 1e6, 1),
-            "gather_only_ms": round(dt_g * 1e3, 2),
-            "pad_factor": round(pad, 3),
-            "roofline_fraction": round(sol_frac, 3),
-            "vs_segment_sum": round(results["xla_segment_sum"]["ms"] / (dt_p * 1e3), 2),
-        }
-        print(f"pallas eb={eb}: e2e {dt_p*1e3:8.2f} ms ({n_edge/dt_p/1e6:6.0f}M e/s)  "
-              f"gather-alone {dt_g*1e3:7.2f} ms  pad={pad:.2f}x  "
-              f"SoL={sol_frac:.0%}", flush=True)
+            pad = c.n_chunk * c.eb / n_edge
+            e_pad = c.n_chunk * c.eb
+            # r2-compatible implementation-traffic fraction (how close the moved
+            # bytes run to HBM bandwidth): gather read + msg write + kernel
+            # re-read at msg width, plus the f32 output write
+            bytes_impl = e_pad * feat_dim * 3 * itemsize + n_node * feat_dim * 4
+            sol_frac = bytes_impl / dt_p / 1e9 / HBM_GBPS
+            # fundamental fraction: ANY implementation must read the gathered
+            # source rows once and write the output once; everything else
+            # (the materialised message matrix) is overhead
+            bytes_min = e_pad * feat_dim * itemsize + n_node * feat_dim * 4
+            min_frac = bytes_min / dt_p / 1e9 / HBM_GBPS
+            key = f"pallas_eb{eb}{tag}"
+            results[key] = {
+                "ms": round(dt_p * 1e3, 2),
+                "medges_per_s": round(n_edge / dt_p / 1e6, 1),
+                "gather_only_ms": round(dt_g * 1e3, 2),
+                "pad_factor": round(pad, 3),
+                "roofline_fraction": round(sol_frac, 3),
+                "min_bytes_fraction": round(min_frac, 3),
+                "vs_segment_sum": round(results["xla_segment_sum"]["ms"] / (dt_p * 1e3), 2),
+            }
+            print(f"{key}: e2e {dt_p*1e3:8.2f} ms ({n_edge/dt_p/1e6:6.0f}M e/s)  "
+                  f"gather-alone {dt_g*1e3:7.2f} ms  pad={pad:.2f}x  "
+                  f"SoL={sol_frac:.0%}", flush=True)
 
     print(json.dumps(results))
     if out_path:

@@ -280,6 +280,7 @@ def load_planetoid(path: str, dataset: str = "cora") -> Graph:
 
     idx_map = {j: i for i, j in enumerate(ids)}
     cites = np.genfromtxt(os.path.join(path, f"{dataset}.cites"), dtype=np.dtype(str))
+    cites = cites.reshape(-1, 2)  # a single-edge file parses as 1-D
     edges = np.array(
         [(idx_map[a], idx_map[b]) for a, b in cites if a in idx_map and b in idx_map],
         np.int64,

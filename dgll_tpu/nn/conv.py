@@ -113,26 +113,48 @@ class GATConv(nn.Module):
         a_src = self.param("attn_src", nn.initializers.glorot_uniform(), (H, F), jnp.float32)
         a_dst = self.param("attn_dst", nn.initializers.glorot_uniform(), (H, F), jnp.float32)
 
-        # compiled sparse path: full graph carrying a chunked layout, MXU-tileable
-        # TOTAL width H*F (one premultiplied-message kernel launch covers all
-        # heads), no attention dropout (softmax happens before the kernel)
+        # compiled sparse path: full graph carrying a chunked layout. The kernel
+        # width is the TOTAL H*F (one premultiplied-message launch covers all
+        # heads); per-head features are zero-padded up to the smallest F' with
+        # (H*F') % 128 == 0, so every config — including the reference's
+        # canonical 8-head x 8-dim (gatconv.py:174-199) — reaches the MXU
+        # kernels. Zero feature columns change no score or output (sliced off).
         c = getattr(g, "chunked", None)
         if (
             c is not None
-            and (H * F) % 128 == 0
             and c.n_rows >= n_dst
             and (self.attn_dropout == 0.0 or deterministic)
         ):
-            from dgll_tpu.ops.pallas.gat import gat_attention_chunked_multihead
+            import math
 
+            from dgll_tpu.ops.pallas.gat import (
+                gat_attention_chunked,
+                gat_attention_chunked_multihead,
+            )
+
+            lane_per_head = 128 // math.gcd(H, 128)
+            f_pad = -(-F // lane_per_head) * lane_per_head
             interpret = c.interpret
-            hp = h.reshape(x.shape[0], H * F)
+            hp = h
+            a_s, a_d = a_src, a_dst
+            if f_pad != F:
+                hp = jnp.pad(h, ((0, 0), (0, 0), (0, f_pad - F)))
+                a_s = jnp.pad(a_src, ((0, 0), (0, f_pad - F)))
+                a_d = jnp.pad(a_dst, ((0, 0), (0, f_pad - F)))
+            hp = hp.reshape(x.shape[0], H * f_pad)
             if hp.shape[0] < c.n_rows:
                 hp = jnp.pad(hp, ((0, c.n_rows - hp.shape[0]), (0, 0)))
-            out = gat_attention_chunked_multihead(
-                c, g.chunked_t, hp, a_src.astype(hp.dtype), a_dst.astype(hp.dtype),
-                self.negative_slope, interpret,
-            )[:n_dst]
+            if H == 1:
+                out = gat_attention_chunked(
+                    c, g.chunked_t, hp, a_s[0].astype(hp.dtype),
+                    a_d[0].astype(hp.dtype), self.negative_slope, interpret,
+                )[:n_dst, None, :f_pad]
+            else:
+                out = gat_attention_chunked_multihead(
+                    c, g.chunked_t, hp, a_s.astype(hp.dtype), a_d.astype(hp.dtype),
+                    self.negative_slope, interpret,
+                )[:n_dst]
+            out = out[..., :F]
             if self.concat_heads:
                 return out.reshape(n_dst, H * F)
             return out.mean(axis=1)

@@ -123,9 +123,13 @@ def build_chunked(
             lo = e0 + k * eb
             hi = min(e0 + (k + 1) * eb, e0 + cnt)
             m = hi - lo
-            S[c, :m] = src[lo:hi]
-            D[c, :m] = dst[lo:hi] - b * R_BLOCK
-            W[c, :m] = w[lo:hi]
+            # edge order within a chunk is free (the scatter matmul sums over
+            # slots) — sort by source so the kernel-feeding gather reads
+            # ascending runs instead of random rows (HBM row-buffer locality)
+            o = lo + np.argsort(src[lo:hi], kind="stable")
+            S[c, :m] = src[o]
+            D[c, :m] = dst[o] - b * R_BLOCK
+            W[c, :m] = w[o]
             RB[c] = b
             c += 1
         e0 += cnt

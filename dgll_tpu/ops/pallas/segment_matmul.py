@@ -148,26 +148,37 @@ def zero_cotangent(tree):
     return jax.tree.map(z, tree)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _spmm_chunked(activation, interpret, c: ChunkedCSR, ct: ChunkedCSR, x, bias):
-    return spmm_chunked_pallas(c, _gather_msg(c, x), bias, activation,
-                               interpret=interpret)
+def _cast_msg(x, msg_dtype):
+    """Cast BEFORE the gather so the [E_pad, F] message traffic (the dominant HBM
+    cost — write + kernel re-read) moves at the narrow width; one extra [N, F]
+    pass over x is far cheaper than the edge-sized saving."""
+    if msg_dtype is not None and x.dtype != msg_dtype:
+        return x.astype(msg_dtype)
+    return x
 
 
-def _fwd(activation, interpret, c, ct, x, bias):
-    out = spmm_chunked_pallas(c, _gather_msg(c, x), bias, activation,
-                              interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _spmm_chunked(activation, interpret, msg_dtype,
+                  c: ChunkedCSR, ct: ChunkedCSR, x, bias):
+    return spmm_chunked_pallas(c, _gather_msg(c, _cast_msg(x, msg_dtype)), bias,
+                               activation, out_dtype=x.dtype, interpret=interpret)
+
+
+def _fwd(activation, interpret, msg_dtype, c, ct, x, bias):
+    out = spmm_chunked_pallas(c, _gather_msg(c, _cast_msg(x, msg_dtype)), bias,
+                              activation, out_dtype=x.dtype, interpret=interpret)
     mask = (out > 0) if activation == "relu" else None
     return out, (c, ct, mask, x.shape[0], bias is not None)
 
 
-def _bwd(activation, interpret, residuals, g):
+def _bwd(activation, interpret, msg_dtype, residuals, g):
     c, ct, mask, n_in, had_bias = residuals
     if activation == "relu":
         g = jnp.where(mask, g, 0.0)
     # dx = A^T g: transpose layout's sources are A's destination rows (< c.n_rows),
     # so g (already padded to c.n_rows) gathers directly.
-    dx_full = spmm_chunked_pallas(ct, _gather_msg(ct, g), None, None,
+    dx_full = spmm_chunked_pallas(ct, _gather_msg(ct, _cast_msg(g, msg_dtype)),
+                                  None, None, out_dtype=g.dtype,
                                   interpret=interpret)
     dx = dx_full[:n_in]
     db = jnp.sum(g, axis=0) if had_bias else None
@@ -178,12 +189,19 @@ _spmm_chunked.defvjp(_fwd, _bwd)
 
 
 def spmm_chunked(c: ChunkedCSR, ct: ChunkedCSR, x, bias=None, activation=None,
-                 interpret: bool = False):
+                 interpret: bool = False, msg_dtype=None):
     """act(A @ x + bias) with custom VJP; ``ct`` is the transpose layout (A^T).
 
     Returns the full padded row space ``[c.n_rows, F]`` (slice to real rows at call
     sites). Differentiable in ``x`` and ``bias``; backward runs the same kernel over
     the transpose layout: dx = A^T (act'(out) * g) — the structural twin of the
     reference backward kernel (``gcn_fused_kernel.cu:77-188``) minus the atomics.
+
+    ``msg_dtype=jnp.bfloat16`` moves the edge-sized message matrix (and the
+    in-kernel MXU inputs) at half width with fp32 accumulation — the HBM-traffic
+    analog of the reference kernel reading X through ``__half``-free fp32 but at
+    TPU-native bf16 throughput. Output stays in ``x.dtype``.
     """
-    return _spmm_chunked(activation, interpret, c, ct, x, bias)
+    if msg_dtype is not None:
+        msg_dtype = jnp.dtype(msg_dtype)
+    return _spmm_chunked(activation, interpret, msg_dtype, c, ct, x, bias)

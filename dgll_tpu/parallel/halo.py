@@ -131,14 +131,17 @@ def make_partitioned_spmm(mesh: Mesh, pg: PartitionedGraph, feat_dim: int,
                           strategy: str = "auto", axis: str = "data"):
     """Pick the cheaper exchange automatically: halo all_to_all when the partition
     cut is small (clustered graphs), all_gather when boundary padding would exceed
-    the full matrix (hub-heavy graphs with poor cuts)."""
+    the full matrix (hub-heavy graphs with poor cuts).
+
+    Returns ``(spmm_fn, chosen_strategy)`` where ``chosen_strategy`` is
+    ``"halo"`` or ``"allgather"``."""
     from dgll_tpu.parallel.gp import make_sharded_spmm
 
     if strategy == "allgather":
-        return make_sharded_spmm(mesh, pg, axis)
+        return make_sharded_spmm(mesh, pg, axis), "allgather"
     plan = build_halo_plan(pg)
     if strategy == "halo":
-        return make_halo_spmm(mesh, pg, plan, axis)
+        return make_halo_spmm(mesh, pg, plan, axis), "halo"
     if halo_volume_bytes(pg, plan, feat_dim) < allgather_volume_bytes(pg, feat_dim):
-        return make_halo_spmm(mesh, pg, plan, axis)
-    return make_sharded_spmm(mesh, pg, axis)
+        return make_halo_spmm(mesh, pg, plan, axis), "halo"
+    return make_sharded_spmm(mesh, pg, axis), "allgather"

@@ -101,9 +101,83 @@ def _maybe_restore_params(cfg, params):
     return jax.tree.map(np.asarray, restored), int(step)
 
 
-def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
+def _prepare_pipeline(cfg, g, model, n_class, timer, extra, log):
+    """Shared COG / preprocess / cache preparation for every minibatch branch.
+
+    Composes the reference's separately-shipped subsystems the way its end state
+    intends (``MQGCN.py:94-163`` + ``FeatureCache/gcn.py:24-110`` +
+    ``main_cog.py``): community relabeling first (contiguous id ranges), then
+    optional offline neighbour-feature preprocessing, then the HBM feature cache
+    over the (possibly relabeled, possibly widened) feature matrix. Returns
+    ``(cfg, g, model, book, cache, fetch)``.
+    """
+    import numpy as np
+
+    book = None
+    if cfg.n_parts > 1:
+        if cfg.sampler != "neighbor":
+            raise ValueError("--n_parts > 1 requires --samp_type neighbor "
+                             "(community-restricted neighbour sampling)")
+        from dgll_tpu.parallel import run_cog
+
+        cap = -(-g.n_real_node // cfg.n_parts)
+        d_feat = int(np.asarray(g.node_feat).shape[1])
+        budget = cap * (d_feat * 4 + 4)
+        with timer.phase("cog"):
+            g, book, cog_t = run_cog(
+                g, hbm_budget_bytes=budget,
+                batch_size=min(cfg.batch_size, cap), seed=cfg.seed,
+            )
+        extra["n_communities"] = len(book)
+        extra["cog_s"] = float(sum(cog_t.values()))
+        log.info(f"COG: {len(book)} communities in {extra['cog_s']:.2f}s")
+
+    # ---- offline neighbour-feature preprocessing (ref gs.py:43-56): the
+    # precomputed mean-aggregated 'neigh' field rides along with the raw
+    # features and replaces the outermost sampled hop.
+    if cfg.preprocess:
+        from dataclasses import replace as _dc_replace
+
+        from dgll_tpu.data.transforms import precompute_neighbor_features
+
+        neigh = precompute_neighbor_features(g)
+        if g.n_node > g.n_real_node:  # keep padded rows padded
+            neigh = np.pad(neigh, ((0, g.n_node - g.n_real_node), (0, 0)))
+        x_cat = np.concatenate(
+            [np.asarray(g.node_feat, np.float32), neigh], axis=1
+        )
+        g = g.with_features(node_feat=x_cat)
+        if len(cfg.fanouts) > 1:
+            cfg = _dc_replace(cfg, fanouts=list(cfg.fanouts[1:]),
+                              n_layers=max(cfg.n_layers - 1, 1))
+            model = build_model(cfg, n_class)
+        extra["preprocess"] = True
+
+    # ---- HBM feature cache (ref GraphCacheServer flow, FeatureCache/gcn.py):
+    # --cached_nPercent of nodes, top out-degree policy; misses from host.
+    cache = None
+    fetch = None
+    if cfg.cached_percent > 0:
+        from dgll_tpu.cache import HBMFeatureCache
+
+        host_feats = np.asarray(g.node_feat, np.float32)
+        cache = HBMFeatureCache(host_feats)
+        k = int(cfg.cached_percent / 100.0 * g.n_real_node)
+        budget = k * host_feats.shape[1] * host_feats.itemsize
+        cache.auto_cache(g.out_degrees_np(), budget)
+        fetch = lambda ids: cache.fetch(np.asarray(ids))
+        log.info(f"cache: {cache.k}/{g.n_real_node} rows resident")
+    return cfg, g, model, book, cache, fetch
+
+
+def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
+                  book=None, fetch=None) -> dict:
     """Data-parallel minibatch training over ``--n_devices`` mesh devices, sync or
-    one-step-stale (``--async_dp``) gradient application."""
+    one-step-stale (``--async_dp``) gradient application. ``book`` routes each
+    community's contiguous id range through its own community-restricted sharded
+    loader (COG composition); ``fetch`` overrides the feature gather with the
+    HBM cache (cache composition) — together this is the reference's flagship
+    MQ-GNN + FeatureCache + COG pipeline in one jitted mesh program."""
     import jax
     import jax.numpy as jnp
 
@@ -128,13 +202,27 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
     sampler = build_sampler(cfg, g)
     per_dev = max(cfg.batch_size // D, 1)
     train_nodes = g.get_train_nodes()
-    loader = ShardedDataLoader(hg, train_nodes, sampler, per_dev, D,
-                               seed=trial_seed)
-    if len(loader) == 0:
+    if book is not None:
+        from dgll_tpu.sampling import CommunityNeighborSampler
+
+        loaders = []
+        for cid, (lo, hi) in book.items():
+            seeds_c = train_nodes[(train_nodes >= lo) & (train_nodes < hi)]
+            if len(seeds_c) < D:  # need >= 1 seed per device shard
+                continue
+            bc = min(per_dev, max(len(seeds_c) // D, 1))
+            cs = CommunityNeighborSampler(cfg.fanouts, (lo, hi), seed=cfg.seed)
+            loaders.append(ShardedDataLoader(hg, seeds_c, cs, bc, D,
+                                             seed=trial_seed))
+    else:
+        loaders = [ShardedDataLoader(hg, train_nodes, sampler, per_dev, D,
+                                     seed=trial_seed)]
+    loaders = [l for l in loaders if len(l) > 0]
+    if not loaders:
         raise ValueError(
             f"batch_size {cfg.batch_size} over {D} devices needs at least "
-            f"{per_dev * D} train seeds; have {len(train_nodes)} — lower "
-            "--batch_size or raise the train split"
+            f"{per_dev * D} train seeds per (community) loader; have "
+            f"{len(train_nodes)} — lower --batch_size or raise the train split"
         )
     feats = jnp.asarray(g.node_feat)
     labels = jnp.asarray(g.labels)
@@ -147,7 +235,7 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
                                rngs={"dropout": rng})
         return model.apply({"params": p}, blocks, x, deterministic=True)
 
-    outs, blocks0 = next(iter(loader))
+    outs, blocks0 = next(iter(loaders[0]))
     local = jax.tree.map(lambda a: a[0], blocks0,
                          is_leaf=lambda a: isinstance(a, jax.Array))
     x0 = jnp.take(feats, local[0].src_ids, axis=0)
@@ -167,7 +255,12 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
 
     def gather(blocks):
         # src_ids/dst_ids are already [D, n] stacked -> one batched gather each
-        x = jnp.take(feats, blocks[0].src_ids, axis=0)
+        sid = blocks[0].src_ids
+        if fetch is not None:  # HBM cache path: hits from device, misses host
+            d, n = sid.shape
+            x = fetch(np.asarray(sid).reshape(-1)).reshape(d, n, -1)
+        else:
+            x = jnp.take(feats, sid, axis=0)
         y = jnp.take(labels, blocks[-1].dst_ids, axis=0)
         return x, y, blocks[-1].dst_mask
 
@@ -177,22 +270,24 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
     loss = np.inf
     for epoch in range(cfg.n_epochs):
         with timer.phase("train"):
-            for outs, blocks in loader:
-                x, y, m = gather(blocks)
-                rng = jax.random.fold_in(base_rng, step_i)  # fresh dropout mask
-                step_i += 1
-                if cfg.async_dp:
-                    params, opt_state, grads, loss = step(params, opt_state, grads,
-                                                          blocks, x, y, m, rng)
-                else:
-                    params, opt_state, loss = step(params, opt_state, blocks,
-                                                   x, y, m, rng)
+            for loader in loaders:
+                for outs, blocks in loader:
+                    x, y, m = gather(blocks)
+                    rng = jax.random.fold_in(base_rng, step_i)  # fresh dropout
+                    step_i += 1
+                    if cfg.async_dp:
+                        params, opt_state, grads, loss = step(
+                            params, opt_state, grads, blocks, x, y, m, rng)
+                    else:
+                        params, opt_state, loss = step(params, opt_state, blocks,
+                                                       x, y, m, rng)
         n_epochs_run += 1
         with timer.phase("validate"):
             from dgll_tpu.train.trainer import TrainState
 
             st = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
-            val = ev.evaluate_nodes(st, val_loader, feats, labels)
+            val = ev.evaluate_nodes(st, val_loader, feats, labels,
+                                    fetch_fn=fetch)
         if val > best_val:
             best_val, bad = val, 0
         else:
@@ -213,7 +308,7 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log) -> dict:
     st = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     test_loader = DataLoader(g, g.get_test_nodes(), sampler, cfg.batch_size,
                              shuffle=False, seed=trial_seed + 2)
-    pred, y = ev.predict_nodes(st, test_loader, feats, labels)
+    pred, y = ev.predict_nodes(st, test_loader, feats, labels, fetch_fn=fetch)
     from dgll_tpu.train import micro_f1
 
     return {
@@ -281,80 +376,34 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
         n_epochs_run = len(hist.epochs)
         final_params = state.params
     elif cfg.n_devices > 1:
-        # ---- data-parallel minibatch over the mesh (ref MQGCN.py:94-163 flow);
-        # --async_dp applies one-step-stale gradients (RaCoM twin).
-        r = _run_dp_trial(cfg, g, trial_seed, model, tx, timer, log)
+        # ---- composed flagship: COG + cache + preprocess prepared once, then
+        # data-parallel minibatch over the mesh (ref MQGCN.py:94-163 flow
+        # composed with FeatureCache/gcn.py + main_cog.py); --async_dp applies
+        # one-step-stale gradients (RaCoM twin).
+        cfg, g, model, book, cache, fetch = _prepare_pipeline(
+            cfg, g, model, n_class, timer, extra, log)
+        r = _run_dp_trial(cfg, g, trial_seed, model, tx, timer, log,
+                          book=book, fetch=fetch)
         test_acc = r["test_acc"]
         f1 = r["micro_f1"]
         best_val = r["best_val"]
         n_epochs_run = r["epochs"]
         final_params = r["params"]
         extra.update(r["extra"])
+        if cache is not None:
+            rate, lookups, misses = cache.miss_rate()
+            extra["cache_miss_rate"] = float(rate)
+            extra["cache_lookups"] = int(lookups)
+            extra["cached_rows"] = int(cache.k)
     else:
         import jax.numpy as jnp
 
         from dgll_tpu.dataloader import DataLoader
 
-        # ---- COG community flow (ref CommGNN_train.py:30-160 / main_cog.py):
-        # detect + merge + split + relabel, then one community-restricted loader
-        # per contiguous community range.
-        book = None
-        if cfg.n_parts > 1:
-            if cfg.sampler != "neighbor":
-                raise ValueError("--n_parts > 1 requires --samp_type neighbor "
-                                 "(community-restricted neighbour sampling)")
-            from dgll_tpu.parallel import run_cog
-
-            cap = -(-g.n_real_node // cfg.n_parts)
-            d_feat = int(np.asarray(g.node_feat).shape[1])
-            budget = cap * (d_feat * 4 + 4)
-            with timer.phase("cog"):
-                g, book, cog_t = run_cog(
-                    g, hbm_budget_bytes=budget,
-                    batch_size=min(cfg.batch_size, cap), seed=cfg.seed,
-                )
-            extra["n_communities"] = len(book)
-            extra["cog_s"] = float(sum(cog_t.values()))
-            log.info(f"COG: {len(book)} communities in {extra['cog_s']:.2f}s")
-
-        # ---- offline neighbour-feature preprocessing (ref gs.py:43-56): the
-        # precomputed mean-aggregated 'neigh' field rides along with the raw
-        # features and replaces the outermost sampled hop.
-        if cfg.preprocess:
-            from dataclasses import replace as _dc_replace
-
-            from dgll_tpu.data.transforms import precompute_neighbor_features
-
-            neigh = precompute_neighbor_features(g)
-            if g.n_node > g.n_real_node:  # keep padded rows padded
-                neigh = np.pad(neigh, ((0, g.n_node - g.n_real_node), (0, 0)))
-            x_cat = np.concatenate(
-                [np.asarray(g.node_feat, np.float32), neigh], axis=1
-            )
-            g = g.with_features(node_feat=x_cat)
-            if len(cfg.fanouts) > 1:
-                cfg = _dc_replace(cfg, fanouts=list(cfg.fanouts[1:]),
-                                  n_layers=max(cfg.n_layers - 1, 1))
-                model = build_model(cfg, n_class)
-            extra["preprocess"] = True
-
+        cfg, g, model, book, cache, fetch = _prepare_pipeline(
+            cfg, g, model, n_class, timer, extra, log)
         sampler = build_sampler(cfg, g)
         train_nodes = g.get_train_nodes()
-
-        # ---- HBM feature cache (ref GraphCacheServer flow, FeatureCache/gcn.py):
-        # --cached_nPercent of nodes, top out-degree policy; misses from host.
-        cache = None
-        fetch = None
-        if cfg.cached_percent > 0:
-            from dgll_tpu.cache import HBMFeatureCache
-
-            host_feats = np.asarray(g.node_feat, np.float32)
-            cache = HBMFeatureCache(host_feats)
-            k = int(cfg.cached_percent / 100.0 * g.n_real_node)
-            budget = k * host_feats.shape[1] * host_feats.itemsize
-            cache.auto_cache(g.out_degrees_np(), budget)
-            fetch = lambda ids: cache.fetch(np.asarray(ids))
-            log.info(f"cache: {cache.k}/{g.n_real_node} rows resident")
 
         if book is not None:
             from dgll_tpu.sampling import CommunityNeighborSampler

@@ -102,21 +102,50 @@ def sample_layer_device(
     fmask: jax.Array,          # [n] bool
     fanout: int,
     key: jax.Array,
+    window: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """[n, fanout] with-replacement uniform in-neighbour sample + validity mask.
 
     Mirrors ``dgll_sample_neighbors`` (csrc/graph_kernels.cpp) on device: invalid
     (masked / zero-degree) rows emit the row's own id with mask 0.
+
+    ``window=True`` switches to block-window sampling: ONE packed CSR row
+    (LANE consecutive edge slots) is fetched per frontier node — the anchor slot
+    is drawn uniformly over the node's edge range, so the window is chosen with
+    probability proportional to its overlap with the range — and all ``fanout``
+    draws come uniformly from the valid lanes of that window. Each draw's
+    marginal distribution is exactly uniform over the node's neighbours
+    (P(window)·P(lane|window) = overlap/deg · 1/overlap = 1/deg); draws within
+    one node are correlated (same window) but aggregation stays unbiased. Why:
+    XLA's row-gather costs ~4 ns per ROW regardless of locality (measured on
+    v5e), so fetching one window row per node instead of one row per
+    (node, slot) cuts the sampling gather cost by the fanout factor.
     """
     n = frontier.shape[0]
     safe = jnp.where(fmask, frontier, 0).astype(jnp.int32)
     bounds = take_packed(csr.indptr_p, jnp.stack([safe, safe + 1]))
     start, deg = bounds[0], bounds[1] - bounds[0]
-    u = jax.random.uniform(key, (n, fanout))
-    off = (u * jnp.maximum(deg, 1)[:, None].astype(u.dtype)).astype(jnp.int32)
-    idx = jnp.minimum(start[:, None] + off, max(csr.n_edge - 1, 0))
-    sampled = take_packed(csr.src_p, idx)
     ok = fmask & (deg > 0)
+    if not window:
+        u = jax.random.uniform(key, (n, fanout))
+        off = (u * jnp.maximum(deg, 1)[:, None].astype(u.dtype)).astype(jnp.int32)
+        idx = jnp.minimum(start[:, None] + off, max(csr.n_edge - 1, 0))
+        sampled = take_packed(csr.src_p, idx)
+    else:
+        ka, kl = jax.random.split(key)
+        ua = jax.random.uniform(ka, (n,))
+        anchor = start + (ua * jnp.maximum(deg, 1).astype(ua.dtype)).astype(jnp.int32)
+        anchor = jnp.minimum(anchor, max(csr.n_edge - 1, 0))
+        row = anchor // LANE
+        rows = jnp.take(csr.src_p, row, axis=0)               # [n, LANE]
+        lo = jnp.maximum(start - row * LANE, 0)               # first valid lane
+        hi = jnp.minimum(start + deg - row * LANE, LANE)      # one past last
+        span = jnp.maximum(hi - lo, 1)
+        ul = jax.random.uniform(kl, (n, fanout))
+        lane = lo[:, None] + (ul * span[:, None].astype(ul.dtype)).astype(jnp.int32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1, LANE), 2)
+        sel = iota == lane[:, :, None]                        # [n, fanout, LANE]
+        sampled = jnp.where(sel, rows[:, None, :], 0).sum(axis=2, dtype=jnp.int32)
     mask = jnp.broadcast_to(ok[:, None], (n, fanout))
     sampled = jnp.where(mask, sampled, frontier[:, None])
     return sampled.astype(jnp.int32), mask
@@ -128,18 +157,21 @@ def sample_blocks_device(
     seed_mask: jax.Array,      # [b] bool
     fanouts: Sequence[int],
     key: jax.Array,
+    window: bool = False,
 ) -> Tuple[jax.Array, jax.Array, List[Block]]:
     """Jit-compatible multi-layer block sampling (NeighborSampler.sample parity).
 
     Returns ``(input_nodes, output_nodes, blocks)`` with blocks outermost-first;
     all shapes are static functions of ``(len(seeds), fanouts)``.
+    ``window`` selects block-window sampling (see :func:`sample_layer_device`).
     """
     seeds = seeds.astype(jnp.int32)
     frontier, fmask = seeds, seed_mask
     blocks: List[Block] = []
     for li, fanout in enumerate(reversed(list(fanouts))):
         sampled, smask = sample_layer_device(
-            csr, frontier, fmask, int(fanout), jax.random.fold_in(key, li)
+            csr, frontier, fmask, int(fanout), jax.random.fold_in(key, li),
+            window=window,
         )
         blocks.insert(
             0,
@@ -163,11 +195,13 @@ class DeviceNeighborSampler:
     on device. ``sample`` may be called inside ``jit`` (pass a key) or eagerly.
     """
 
-    def __init__(self, fanouts: Sequence[int]):
+    def __init__(self, fanouts: Sequence[int], window: bool = False):
         self.fanouts = [int(f) for f in fanouts]
+        self.window = bool(window)
 
     def sample(self, csr: DeviceCSR, seeds, key, seed_mask=None):
         seeds = jnp.asarray(seeds, jnp.int32)
         if seed_mask is None:
             seed_mask = jnp.ones(seeds.shape, bool)
-        return sample_blocks_device(csr, seeds, seed_mask, self.fanouts, key)
+        return sample_blocks_device(csr, seeds, seed_mask, self.fanouts, key,
+                                    window=self.window)

@@ -35,6 +35,7 @@ def make_device_epoch_fn(
     n_batches: int,
     loss_fn: Callable = masked_nll_loss,
     feat_dtype=None,
+    window: bool = False,
 ):
     """Build ``epoch(state, csr, feats, labels, seeds, seed_mask, key)``.
 
@@ -64,7 +65,8 @@ def make_device_epoch_fn(
             off = i * batch_size
             bs = jax.lax.dynamic_slice(seeds_s, (off,), (batch_size,))
             bm = jax.lax.dynamic_slice(mask_s, (off,), (batch_size,))
-            _, out, blocks = sample_blocks_device(csr, bs, bm, fanouts, ks)
+            _, out, blocks = sample_blocks_device(csr, bs, bm, fanouts, ks,
+                                                  window=window)
             x = jnp.take(feats, blocks[0].src_ids, axis=0)
             if feat_dtype is not None:
                 x = x.astype(feat_dtype)
@@ -112,6 +114,7 @@ class DeviceEpochRunner:
         loss_fn: Callable = masked_nll_loss,
         seed: int = 0,
         feat_dtype=None,
+        window: bool = False,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -129,7 +132,8 @@ class DeviceEpochRunner:
         self.seed_mask = jnp.asarray(mask)
         self.rng = jax.random.key(seed)
         self.epoch_fn = make_device_epoch_fn(
-            self.fanouts, self.batch_size, self.n_batches, loss_fn, feat_dtype
+            self.fanouts, self.batch_size, self.n_batches, loss_fn, feat_dtype,
+            window=window,
         )
         self._feat_dtype = feat_dtype
 

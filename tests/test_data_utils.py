@@ -139,3 +139,73 @@ def test_load_dataP_text_format(tmp_path):
     train, test = separate_graphs(many, seed=0, fold_idx=0)
     assert len(train) + len(test) == 20
     assert {g.label for g in test} == {0, 1}
+
+
+# ---------------------------------------------------------------- fixtures
+# On-disk format round-trips for the real-data parsers (VERDICT r2 #6): tiny
+# committed files in the exact reference formats — cora-style .content/.cites
+# (dgll/nn/utils/utils.py:146-185) and PPI node-link json + npy arrays
+# (Evaluation/PPI/ppi_dataloader.py:10-81).
+import os
+
+_FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+class TestLoadPlanetoidFixture:
+    def test_roundtrip(self):
+        from dgll_tpu.data import load_planetoid
+
+        g = load_planetoid(os.path.join(_FIX, "planetoid"), "tiny")
+        assert g.n_real_node == 8
+        # 3 sorted label classes: genetic=0, neural=1, theory=2
+        labels = np.asarray(g.labels)
+        assert labels.tolist() == [0, 0, 1, 1, 2, 2, 0, 1]
+        # features row-normalised: rows sum to 1 (all-positive fixture rows)
+        feats = np.asarray(g.node_feat)
+        assert feats.shape == (8, 4)
+        np.testing.assert_allclose(feats.sum(1), 1.0, rtol=1e-5)
+        # the 'nX n1' row referencing an unknown id must be dropped; the 9 valid
+        # citation edges become bidirected + self loops
+        indptr = np.asarray(g.indptr)
+        src = np.asarray(g.src)
+        # n0's in-neighbours: n1, n7, n4 (bidirected), plus self loop
+        n0_in = set(src[indptr[0]:indptr[1]].tolist())
+        assert n0_in == {0, 1, 4, 7}
+        # tiny graph: every node fits in the train split prefix
+        assert np.asarray(g.train_mask).all()
+        assert not np.asarray(g.val_mask).any()
+
+    def test_single_edge_cites(self, tmp_path):
+        from dgll_tpu.data import load_planetoid
+
+        (tmp_path / "one.content").write_text("a 1 0 x\nb 0 1 y\n")
+        (tmp_path / "one.cites").write_text("a b\n")  # 1-D genfromtxt case
+        g = load_planetoid(str(tmp_path), "one")
+        assert g.n_real_node == 2
+        indptr = np.asarray(g.indptr)
+        src = np.asarray(g.src)
+        assert set(src[indptr[0]:indptr[1]].tolist()) == {0, 1}
+
+
+class TestLoadPPIFixture:
+    def test_roundtrip(self):
+        from dgll_tpu.data import load_ppi_split
+
+        graphs = load_ppi_split(os.path.join(_FIX, "ppi"), "train")
+        assert len(graphs) == 2
+        g0, g1 = graphs
+        assert g0.n_real_node == 3 and g1.n_real_node == 3
+        # graph 0 is a triangle: every node has 2 neighbours + self loop
+        indptr0 = np.asarray(g0.indptr)
+        assert (np.diff(indptr0) == 3).all()
+        # graph 1 is a path 3-4-5 (relabeled 0-1-2): middle node has 2 nbrs
+        indptr1 = np.asarray(g1.indptr)
+        src1 = np.asarray(g1.src)
+        mid = set(src1[indptr1[1]:indptr1[2]].tolist())
+        assert mid == {0, 1, 2}
+        # multilabel targets ride along per node, float32 for BCE
+        assert np.asarray(g0.labels).shape == (3, 3)
+        assert np.asarray(g0.labels).dtype == np.float32
+        # features slice to the graph's node range
+        feats_all = np.load(os.path.join(_FIX, "ppi", "train_feats.npy"))
+        np.testing.assert_allclose(np.asarray(g1.node_feat), feats_all[3:6])

@@ -180,3 +180,80 @@ class TestDeviceEpochRunner:
         state = runner.init_state(feats)
         state, loss = runner.run_epoch(state, feats, labels)
         assert np.isfinite(float(loss))
+
+
+class TestWindowSampling:
+    def test_sampled_are_neighbors(self):
+        g, _, _ = _random_graph(96, 800, seed=3)
+        csr = DeviceCSR.from_graph(g)
+        nbrs = _in_neighbors(g)
+        frontier = jnp.arange(g.n_node, dtype=jnp.int32)
+        fmask = jnp.ones(g.n_node, bool)
+        sampled, mask = sample_layer_device(
+            csr, frontier, fmask, 6, jax.random.key(0), window=True)
+        sampled, mask = np.asarray(sampled), np.asarray(mask)
+        for v in range(g.n_node):
+            if nbrs[v]:
+                assert mask[v].all()
+                assert set(sampled[v].tolist()) <= nbrs[v], v
+            else:
+                assert not mask[v].any()
+                assert (sampled[v] == v).all()
+
+    def test_marginal_uniformity(self):
+        # one node with many neighbours spanning several LANE windows: each
+        # neighbour must be drawn ~uniformly across repeated keys
+        n_nbr = 300  # spans 3+ packed windows
+        src = np.arange(1, n_nbr + 1, dtype=np.int64)
+        dst = np.zeros(n_nbr, np.int64)
+        from dgll_tpu.graph import Graph
+
+        g = Graph.from_edges(src, dst, n_nbr + 1)
+        csr = DeviceCSR.from_graph(g)
+        frontier = jnp.zeros(1, jnp.int32)
+        fmask = jnp.ones(1, bool)
+
+        @jax.jit
+        def draw(key):
+            s, _ = sample_layer_device(csr, frontier, fmask, 8, key, window=True)
+            return s
+
+        counts = np.zeros(n_nbr + 2, np.int64)
+        reps = 2000
+        for r in range(reps):
+            s = np.asarray(draw(jax.random.key(r)))
+            np.add.at(counts, s.reshape(-1), 1)
+        freq = counts[1 : n_nbr + 1] / (reps * 8)
+        expect = 1.0 / n_nbr
+        # every neighbour visited; frequencies within 4x of uniform (loose
+        # bound: 16000 draws over 300 outcomes, ~53 expected hits each)
+        assert (counts[1 : n_nbr + 1] > 0).all()
+        assert freq.max() < 4 * expect and freq.min() > expect / 4
+        # chi-square-ish sanity: relative std under 60%
+        assert freq.std() / expect < 0.6
+
+    def test_epoch_runner_window_learns(self):
+        rng = np.random.default_rng(1)
+        n = 256
+        label = (np.arange(n) >= n // 2).astype(np.int32)
+        src, dst = [], []
+        for _ in range(8):
+            a = rng.permutation(n // 2)
+            src += [a, a + n // 2]
+            dst += [np.roll(a, 1), np.roll(a, 1) + n // 2]
+        src, dst = np.concatenate(src), np.concatenate(dst)
+        g = Graph.from_edges(src, dst, n, add_self_loops=True)
+        csr = DeviceCSR.from_graph(g)
+        feats = jnp.asarray(
+            rng.standard_normal((n, 16)).astype(np.float32)
+            + label[:, None] * np.float32(1.5))
+        labels = jnp.asarray(label)
+        model = GraphSAGE(hidden=32, n_class=2, dropout=0.0)
+        runner = DeviceEpochRunner(model, optax.adam(1e-2), csr, fanouts=[5, 5],
+                                   batch_size=64, train_nodes=np.arange(n),
+                                   seed=0, window=True)
+        state = runner.init_state(feats)
+        state, loss0 = runner.run_epoch(state, feats, labels)
+        for _ in range(5):
+            state, loss = runner.run_epoch(state, feats, labels)
+        assert float(loss) < float(loss0) and float(loss) < 0.35

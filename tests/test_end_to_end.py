@@ -301,3 +301,26 @@ def test_scanned_steps_match_sequential(g):
     np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5, atol=1e-6)
     for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(st2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_cli_composed_flagship_dp_cache_cog():
+    """The composed flagship flow (VERDICT r2 #3): ONE run trains minibatch
+    GraphSAGE with COG partitioning + community-restricted sharded loaders +
+    HBM feature cache + data parallelism over the mesh simultaneously — the
+    reference's MQ-GNN + FeatureCache + COG composition
+    (MQGCN.py:94-163 + FeatureCache/gcn.py:24-110 + main_cog.py)."""
+    from dgll_tpu import run as cli
+
+    out = cli.main([
+        "--dataset", "synthetic", "--n_node", "500", "--avg_degree", "6",
+        "--feat_dim", "16", "--n_class", "4", "--Model", "SAGE",
+        "--n_epochs", "3", "--batch_size", "48", "--n_gpus", "4",
+        "--n_parts", "2", "--cached_nPercent", "25", "--fanouts", "3,2",
+    ])
+    t = out["trials"][0]
+    assert t["n_devices"] == 4
+    assert t["n_communities"] >= 2
+    assert t["cached_rows"] == 125
+    assert 0.0 <= t["cache_miss_rate"] <= 1.0
+    assert t["cache_lookups"] > 0
+    assert np.isfinite(t["test_acc"]) and t["test_acc"] > 0.3

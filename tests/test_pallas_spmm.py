@@ -176,3 +176,33 @@ def test_gcn_training_via_chunked_dispatch():
     logp = tr.evaluate(state, gc, gc.node_feat)
     acc = accuracy(logp, gc.labels, gc.test_mask)
     assert acc > 0.7, acc
+
+
+def test_msg_dtype_bf16_mixed_precision(coo):
+    """msg_dtype=bf16: f32 inputs/outputs with the edge-sized message matrix (and
+    MXU operands) in bf16 — the HBM-traffic-halving mode of ``spmm_chunked``."""
+    src, dst, w, x, n = coo
+    c, ct = build_chunked_pair(src, dst, n, n, w, eb=256)
+    xj = jnp.asarray(x)
+
+    out = spmm_chunked(c, ct, xj, None, None, True, msg_dtype=jnp.bfloat16)
+    assert out.dtype == jnp.float32  # output stays at input precision
+    xq = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    wq = np.asarray(jnp.asarray(w, jnp.bfloat16), np.float32)
+    expect = dense_expect(src, dst, wq, xq, n)
+    scale = np.maximum(np.abs(expect), 1.0)
+    np.testing.assert_allclose(np.asarray(out)[:n] / scale, expect / scale, atol=1e-2)
+
+    def loss(x_):
+        return jnp.sum(
+            spmm_chunked(c, ct, x_, None, None, True, msg_dtype=jnp.bfloat16)[:n] ** 2
+        )
+
+    gx = jax.grad(loss)(xj)
+    assert gx.dtype == jnp.float32
+    A = np.zeros((n, n), np.float32)
+    np.add.at(A, (dst, src), wq)
+    g_q = np.asarray(jnp.asarray(2.0 * expect, jnp.bfloat16), np.float32)
+    gx_r = A.T @ g_q
+    gscale = np.maximum(np.abs(gx_r), 1.0)
+    np.testing.assert_allclose(np.asarray(gx) / gscale, gx_r / gscale, atol=5e-2)
