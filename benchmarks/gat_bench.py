@@ -26,7 +26,9 @@ def main():
     from dgll_tpu.data import gcn_normalize, synthetic_classification_graph
     from dgll_tpu.nn.conv import GATConv
 
-    n_node = int(os.environ.get("GB_NODES", 200_000))
+    # scale bounded by the XLA baseline: its per-edge [E, H] score/alpha arrays
+    # lane-pad 8 -> 128 on TPU, so E is kept ~1.6M to fit the comparison in HBM
+    n_node = int(os.environ.get("GB_NODES", 100_000))
     avg_deg = int(os.environ.get("GB_DEG", 16))
     out_path = os.environ.get("GB_OUT", "")
 

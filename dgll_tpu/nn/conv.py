@@ -186,8 +186,13 @@ class GATConv(nn.Module):
             if self.attn_dropout > 0.0 and not deterministic:
                 alpha = nn.Dropout(rate=self.attn_dropout, deterministic=False)(alpha)
 
-            msg = jnp.take(h, g.src, axis=0) * alpha[..., None]  # [E, H, F]
+            # aggregate at [E, H*F]: a minor dim of F would lane-pad to 128 on
+            # TPU (up to 16x HBM inflation at graph scale); H*F keeps the
+            # layout dense
+            e_cnt = g.src.shape[0]
+            msg = (jnp.take(h, g.src, axis=0) * alpha[..., None]).reshape(e_cnt, H * F)
             out = jax.ops.segment_sum(msg, g.dst, num_segments=n_dst)
+            out = out.reshape(n_dst, H, F)
         if self.concat_heads:
             return out.reshape(n_dst, H * F)
         return out.mean(axis=1)

@@ -107,6 +107,11 @@ def partition_graph(
         part_of = _contiguous_assignment(g, n_parts)
     elif strategy == "bfs":
         part_of = _bfs_grow_assignment(g, n_parts, seed)
+    elif strategy == "range":
+        # preserve the existing id order: shard = id // rows. The right choice
+        # when ids are already locality-ordered (COG-relabeled communities,
+        # pre-clustered datasets) — cut-proportional halo volume depends on it.
+        part_of = (np.arange(n) // -(-n // n_parts)).astype(np.int32)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 

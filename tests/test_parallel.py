@@ -322,3 +322,76 @@ def test_tp_gcn_forward_matches_replicated(g):
     logits = agg(h) @ w2 + b2
     expect = np.asarray(jax.nn.log_softmax(jnp.asarray(logits)))
     np.testing.assert_allclose(out, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_halo_beats_allgather_volume_on_clustered_graph():
+    """On a low-cut, id-ordered (COG-style) graph with the 'range' partition
+    strategy, the halo plan's comm volume is a tiny fraction of all_gather's,
+    and the auto strategy picks halo (VERDICT r2 #7)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks"))
+    from scaling_bench import clustered_graph
+
+    from dgll_tpu.parallel import partition_graph
+    from dgll_tpu.parallel.halo import (
+        allgather_volume_bytes,
+        build_halo_plan,
+        halo_volume_bytes,
+        make_partitioned_spmm,
+    )
+    from dgll_tpu.parallel import make_mesh
+    import jax
+
+    g = clustered_graph(8000, 8, 16, n_cluster=8, seed=1)
+    pg = partition_graph(g, 4, strategy="range")
+    plan = build_halo_plan(pg)
+    hv = halo_volume_bytes(pg, plan, 16)
+    av = allgather_volume_bytes(pg, 16)
+    assert hv < av / 10, (hv, av)
+
+    mesh = make_mesh(("data",), devices=jax.devices()[:4])
+    _, strategy = make_partitioned_spmm(mesh, pg, 16, strategy="auto")
+    assert strategy == "halo"
+
+    # and the round-robin 'contiguous' strategy on the same graph destroys
+    # locality -> auto falls back to allgather (both behaviours matter)
+    pg2 = partition_graph(g, 4, strategy="contiguous")
+    _, strategy2 = make_partitioned_spmm(mesh, pg2, 16, strategy="auto")
+    assert strategy2 == "allgather"
+
+
+def test_range_partition_spmm_matches_oracle():
+    """'range' partitioning preserves SpMM exactness like the other strategies."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks"))
+    from scaling_bench import clustered_graph
+
+    import jax
+    import jax.numpy as jnp
+    from dgll_tpu.ops import spmm_coo
+    from dgll_tpu.parallel import (
+        build_halo_plan, make_halo_spmm, make_mesh, partition_graph,
+        shard_partitioned_graph,
+    )
+
+    g = clustered_graph(2000, 6, 8, n_cluster=4, seed=2)
+    D = 4
+    mesh = make_mesh(("data",), devices=jax.devices()[:D])
+    pg = partition_graph(g, D, strategy="range")
+    pgs = shard_partitioned_graph(pg, mesh)
+    plan = build_halo_plan(pg)
+    spmm = make_halo_spmm(mesh, pgs, plan)
+    out = np.asarray(spmm(pgs.node_feat))
+
+    # oracle on the relabeled graph
+    perm = np.asarray(pg.perm)
+    x = np.zeros((pg.n_node, 8), np.float32)
+    x[perm] = np.asarray(g.node_feat)[: g.n_real_node]
+    src = perm[np.asarray(g.src)[: g.n_real_edge]]
+    dst = perm[np.asarray(g.dst)[: g.n_real_edge]]
+    w = np.asarray(g.edge_weight)[: g.n_real_edge]
+    expect = np.asarray(spmm_coo(jnp.asarray(src), jnp.asarray(dst),
+                                 jnp.asarray(x), pg.n_node, jnp.asarray(w)))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
