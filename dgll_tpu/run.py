@@ -405,6 +405,83 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
         sampler = build_sampler(cfg, g)
         train_nodes = g.get_train_nodes()
 
+        if cfg.device_sampling:
+            # ---- fully device-resident pipeline: CSR + features in HBM,
+            # sampling inside the jitted program, one dispatch per epoch
+            # (train/device_pipeline.py — the fastest single-chip path).
+            if cfg.sampler != "neighbor":
+                raise ValueError("--device_sampling requires --samp_type neighbor")
+            if book is not None or fetch is not None:
+                raise ValueError(
+                    "--device_sampling keeps the graph and features HBM-resident; "
+                    "it composes with neither --n_parts nor --cached_nPercent "
+                    "(use the host pipeline for those, or DP for scale-out)")
+            from dgll_tpu.sampling import DeviceCSR
+            from dgll_tpu.train import DeviceEpochRunner
+
+            csr = DeviceCSR.from_graph(g)
+            feats = jnp.asarray(g.node_feat)
+            labels = jnp.asarray(g.labels)
+            runner = DeviceEpochRunner(
+                model, tx, csr, cfg.fanouts, cfg.batch_size, train_nodes,
+                seed=trial_seed, window=cfg.window_sampling)
+            state = runner.init_state(feats)
+            p, resumed = _maybe_restore_params(cfg, state.params)
+            if resumed is not None:
+                state = state.replace(params=jax.tree.map(jnp.asarray, p))
+                extra["resumed_from"] = resumed
+            ev = MiniBatchTrainer(model, tx, seed=trial_seed)
+            val_loader = DataLoader(g, g.get_validation_nodes(), sampler,
+                                    cfg.batch_size, shuffle=False,
+                                    seed=trial_seed + 1)
+            best_val, bad, n_epochs_run = -np.inf, 0, 0
+            loss = np.inf
+            for epoch in range(cfg.n_epochs):
+                with timer.phase("train"):
+                    state, loss = runner.run_epoch(state, feats, labels)
+                    loss = float(loss)
+                n_epochs_run += 1
+                with timer.phase("validate"):
+                    val = ev.evaluate_nodes(state, val_loader, feats, labels)
+                if val > best_val:
+                    best_val, bad = val, 0
+                else:
+                    bad += 1
+                log.info(f"[device] epoch {epoch} loss {loss:.4f} val {val:.4f}")
+                if cfg.n_stops and bad >= cfg.n_stops:
+                    break
+            test_loader = DataLoader(g, g.get_test_nodes(), sampler,
+                                     cfg.batch_size, shuffle=False,
+                                     seed=trial_seed + 2)
+            pred, y = ev.predict_nodes(state, test_loader, feats, labels)
+            test_acc = float((pred == y).mean()) if len(pred) else 0.0
+            f1 = micro_f1(pred, y)
+            final_params = state.params
+            extra["device_sampling"] = True
+            extra["window_sampling"] = bool(cfg.window_sampling)
+            total = time.perf_counter() - t_start
+            if cfg.checkpoint_dir:
+                from dgll_tpu.train import CheckpointManager
+
+                save_step = n_epochs_run + (extra.get("resumed_from") or 0)
+                mgr = CheckpointManager(cfg.checkpoint_dir)
+                mgr.save(save_step, jax.tree.map(np.asarray, final_params),
+                         wait=True)
+                mgr.close()
+            metric_name = metric_for_dataset(cfg.dataset)
+            metric_value = {"acc": test_acc, "f1": f1}.get(metric_name, test_acc)
+            return {
+                "test_acc": float(test_acc),
+                "micro_f1": float(f1),
+                "metric_name": metric_name,
+                "metric": float(metric_value),
+                "best_val": float(best_val),
+                "epochs": n_epochs_run,
+                "train_s": timer.totals.get("train", total),
+                "total_s": total,
+                **extra,
+            }
+
         if book is not None:
             from dgll_tpu.sampling import CommunityNeighborSampler
 

@@ -41,6 +41,8 @@ class TrainConfig:
     n_devices: int = 1              # data-parallel mesh devices (ref --n_gpus)
     async_dp: bool = False          # one-step-stale gradient application (RaCoM)
     preprocess: bool = False        # offline neigh-feature aggregation (ref gs.py)
+    device_sampling: bool = False   # CSR in HBM; epoch = one scanned dispatch
+    window_sampling: bool = True    # block-window draws (device_sampling only)
     seed: int = 0
     dtype: str = "float32"
     checkpoint_dir: Optional[str] = None
@@ -83,6 +85,9 @@ def add_train_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    default=d.n_devices)
     p.add_argument("--async_dp", action="store_true")
     p.add_argument("--preprocess", action="store_true")
+    p.add_argument("--device_sampling", action="store_true")
+    p.add_argument("--no_window_sampling", dest="window_sampling",
+                   action="store_false", default=True)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--dtype", default=d.dtype)
     p.add_argument("--checkpoint_dir", default=None)

@@ -324,3 +324,28 @@ def test_cli_composed_flagship_dp_cache_cog():
     assert 0.0 <= t["cache_miss_rate"] <= 1.0
     assert t["cache_lookups"] > 0
     assert np.isfinite(t["test_acc"]) and t["test_acc"] > 0.3
+
+
+def test_cli_device_sampling_flow():
+    """--device_sampling trains through the fully device-resident pipeline
+    (sampling inside the jitted epoch program) and reaches normal accuracy."""
+    from dgll_tpu import run as cli
+
+    out = cli.main([
+        "--dataset", "synthetic", "--n_node", "500", "--avg_degree", "8",
+        "--feat_dim", "16", "--n_class", "4", "--Model", "SAGE",
+        "--n_epochs", "4", "--batch_size", "64", "--device_sampling",
+        "--fanouts", "4,3",
+    ])
+    t = out["trials"][0]
+    assert t["device_sampling"] is True and t["window_sampling"] is True
+    assert t["test_acc"] > 0.5
+
+    # incompatible compositions are rejected loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="device_sampling"):
+        cli.main([
+            "--dataset", "synthetic", "--n_node", "300", "--Model", "SAGE",
+            "--n_epochs", "1", "--batch_size", "32", "--device_sampling",
+            "--cached_nPercent", "25", "--fanouts", "3,2",
+        ])
