@@ -9,7 +9,12 @@ from dgll_tpu.train.metrics import (
     micro_f1,
     roc_auc,
 )
-from dgll_tpu.train.device_pipeline import DeviceEpochRunner, make_device_epoch_fn
+from dgll_tpu.train.device_pipeline import (
+    DeviceDPEpochRunner,
+    DeviceEpochRunner,
+    make_device_dp_epoch_fn,
+    make_device_epoch_fn,
+)
 from dgll_tpu.train.pipeline import MQTrainer, PipelinedTrainer
 from dgll_tpu.train.trainer import (
     FullBatchTrainer,
@@ -43,5 +48,7 @@ __all__ = [
     "make_block_step",
     "make_block_eval",
     "DeviceEpochRunner",
+    "DeviceDPEpochRunner",
     "make_device_epoch_fn",
+    "make_device_dp_epoch_fn",
 ]

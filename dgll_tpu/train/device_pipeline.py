@@ -90,6 +90,90 @@ def make_device_epoch_fn(
     return epoch
 
 
+def make_device_dp_epoch_fn(
+    mesh,
+    fanouts: Sequence[int],
+    per_device_batch: int,
+    n_batches: int,
+    loss_fn: Callable = masked_nll_loss,
+    feat_dtype=None,
+    window: bool = False,
+    axis: str = "data",
+):
+    """Data-parallel twin of :func:`make_device_epoch_fn`: each mesh device
+    samples ITS sub-batch from the (replicated) HBM CSR inside the program and
+    gradients are ``psum``-ed — on-device sampling composed with DP, so the
+    host feeds nothing per batch even at multi-chip scale (the end state the
+    reference's MQ-GNN pipeline + DDP approximates with queues + NCCL,
+    ``MQGCN.py:94-163``).
+
+    ``epoch(state, csr, feats, labels, seeds, seed_mask, key)`` with
+    ``seeds``/``seed_mask`` of length ``n_batches * D * per_device_batch``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map  # type: ignore
+
+    fanouts = [int(f) for f in fanouts]
+    D = int(mesh.shape[axis])
+    b = int(per_device_batch)
+    total = int(n_batches) * D * b
+
+    @jax.jit
+    def epoch(state: TrainState, csr: DeviceCSR, feats, labels, seeds, seed_mask, key):
+        kperm, kscan = jax.random.split(key)
+        order = jax.random.permutation(kperm, total)
+        seeds_s = jnp.take(seeds, order)
+        mask_s = jnp.take(seed_mask, order)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(), P()),
+            out_specs=(P(), P()),
+        )
+        def dp_step(params, csr_, feats_, labels_, bs, bm, kd, ks):
+            bs, bm = bs.reshape(-1), bm.reshape(-1)
+            ks = jax.random.fold_in(ks, jax.lax.axis_index(axis))
+            _, _, blocks = sample_blocks_device(csr_, bs, bm, fanouts, ks,
+                                                window=window)
+            x = jnp.take(feats_, blocks[0].src_ids, axis=0)
+            if feat_dtype is not None:
+                x = x.astype(feat_dtype)
+            y = jnp.take(labels_, blocks[-1].dst_ids, axis=0)
+
+            def loss_of(p):
+                logp = state.apply_fn(
+                    {"params": p}, list(blocks), x, deterministic=False,
+                    rngs={"dropout": kd},
+                )
+                return loss_fn(logp, y, blocks[-1].dst_mask)
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            return grads, loss
+
+        def body(carry, i):
+            st, k = carry
+            k, ks, kd = jax.random.split(k, 3)
+            off = i * (D * b)
+            bs = jax.lax.dynamic_slice(seeds_s, (off,), (D * b,)).reshape(D, b)
+            bm = jax.lax.dynamic_slice(mask_s, (off,), (D * b,)).reshape(D, b)
+            grads, loss = dp_step(st.params, csr, feats, labels, bs, bm, kd, ks)
+            return (st.apply_gradients(grads=grads), k), loss
+
+        (state2, _), losses = jax.lax.scan(
+            body, (state, kscan), jnp.arange(n_batches)
+        )
+        return state2, losses.mean()
+
+    return epoch
+
+
 class DeviceEpochRunner:
     """Convenience driver around :func:`make_device_epoch_fn`.
 
@@ -139,14 +223,27 @@ class DeviceEpochRunner:
 
     def init_state(self, feats) -> TrainState:
         self.rng, kinit, ks = jax.random.split(self.rng, 3)
-        seeds = jnp.arange(self.batch_size, dtype=jnp.int32) % max(self.csr.n_node, 1)
-        _, _, blocks = sample_blocks_device(
-            self.csr, seeds, jnp.ones(self.batch_size, bool), self.fanouts, ks
-        )
-        x = jnp.take(jnp.asarray(feats), blocks[0].src_ids, axis=0)
-        if self._feat_dtype is not None:
-            x = x.astype(self._feat_dtype)
-        return create_train_state(self.model, kinit, self.optimizer, list(blocks), x)
+        b = self.batch_size
+
+        # ONE jitted program for the sampling+gather and ONE for model.init:
+        # running these eagerly costs a remote compile round-trip PER OP on
+        # relay-attached TPUs (each tiny compile pays the compile-helper
+        # subprocess startup — minutes of overhead at init time)
+        @jax.jit
+        def sample_init(csr, feats_, key):
+            seeds = jnp.arange(b, dtype=jnp.int32) % max(self.csr.n_node, 1)
+            _, _, blocks = sample_blocks_device(
+                csr, seeds, jnp.ones(b, bool), self.fanouts, key
+            )
+            x = jnp.take(feats_, blocks[0].src_ids, axis=0)
+            if self._feat_dtype is not None:
+                x = x.astype(self._feat_dtype)
+            return blocks, x
+
+        blocks, x = sample_init(self.csr, jnp.asarray(feats), ks)
+        params = jax.jit(self.model.init)(kinit, list(blocks), x)["params"]
+        return TrainState.create(apply_fn=self.model.apply, params=params,
+                                 tx=self.optimizer)
 
     def run_epoch(self, state: TrainState, feats, labels):
         self.rng, k = jax.random.split(self.rng)
@@ -154,3 +251,35 @@ class DeviceEpochRunner:
             state, self.csr, feats, labels, self.seeds, self.seed_mask, k
         )
         return state, loss
+
+
+class DeviceDPEpochRunner(DeviceEpochRunner):
+    """Data-parallel :class:`DeviceEpochRunner`: per-device on-device sampling +
+    psum'd gradients over a mesh axis. Pass the mesh; the global batch is
+    ``mesh.shape[axis] * per_device_batch``."""
+
+    def __init__(
+        self,
+        model,
+        optimizer,
+        csr: DeviceCSR,
+        fanouts: Sequence[int],
+        per_device_batch: int,
+        train_nodes,
+        mesh,
+        loss_fn: Callable = masked_nll_loss,
+        seed: int = 0,
+        feat_dtype=None,
+        window: bool = False,
+        axis: str = "data",
+    ):
+        D = int(mesh.shape[axis])
+        super().__init__(model, optimizer, csr, fanouts,
+                         batch_size=D * int(per_device_batch),
+                         train_nodes=train_nodes, loss_fn=loss_fn, seed=seed,
+                         feat_dtype=feat_dtype, window=window)
+        # replace the single-device epoch with the shard_map DP one
+        self.epoch_fn = make_device_dp_epoch_fn(
+            mesh, self.fanouts, int(per_device_batch), self.n_batches,
+            loss_fn, feat_dtype, window, axis,
+        )

@@ -257,3 +257,42 @@ class TestWindowSampling:
         for _ in range(5):
             state, loss = runner.run_epoch(state, feats, labels)
         assert float(loss) < float(loss0) and float(loss) < 0.35
+
+
+class TestDeviceDPEpochRunner:
+    def test_dp_device_sampling_learns_on_mesh(self):
+        """On-device sampling composed with data parallelism: each of 4 mesh
+        devices samples its sub-batch from the replicated HBM CSR inside the
+        scanned epoch program; grads are pmean'd."""
+        import jax
+        from dgll_tpu.parallel import make_mesh
+        from dgll_tpu.train.device_pipeline import DeviceDPEpochRunner
+
+        rng = np.random.default_rng(0)
+        n = 256
+        label = (np.arange(n) >= n // 2).astype(np.int32)
+        src, dst = [], []
+        for _ in range(8):
+            a = rng.permutation(n // 2)
+            src += [a, a + n // 2]
+            dst += [np.roll(a, 1), np.roll(a, 1) + n // 2]
+        src, dst = np.concatenate(src), np.concatenate(dst)
+        g = Graph.from_edges(src, dst, n, add_self_loops=True)
+        csr = DeviceCSR.from_graph(g)
+        feats = jnp.asarray(
+            rng.standard_normal((n, 16)).astype(np.float32)
+            + label[:, None] * np.float32(1.5))
+        labels = jnp.asarray(label)
+
+        mesh = make_mesh(("data",), devices=jax.devices()[:4])
+        model = GraphSAGE(hidden=32, n_class=2, dropout=0.0)
+        runner = DeviceDPEpochRunner(
+            model, optax.adam(1e-2), csr, fanouts=[5, 5], per_device_batch=16,
+            train_nodes=np.arange(n), mesh=mesh, seed=0, window=True)
+        assert runner.batch_size == 64  # 4 devices x 16
+        state = runner.init_state(feats)
+        state, loss0 = runner.run_epoch(state, feats, labels)
+        for _ in range(5):
+            state, loss = runner.run_epoch(state, feats, labels)
+        assert float(loss) < float(loss0)
+        assert float(loss) < 0.35
