@@ -87,34 +87,41 @@ def main():
                   file=sys.stderr, flush=True)
         return dt, loss
 
-    # ---------------- device pipeline (headline): epoch = ONE dispatch
-    csr = DeviceCSR.from_host_arrays(indptr, src_s)
+    run_device = os.environ.get("EB_DEVICE", "1") == "1"
+    n_batches = max(1, -(-len(train_nodes) // batch))
     model = GraphSAGE(hidden=hidden, n_class=n_class, dropout=0.0)
+
+    # ---------------- device pipeline (headline): epoch = ONE dispatch
+    if not run_device:
+        run_bf16 = False
+    csr = DeviceCSR.from_host_arrays(indptr, src_s) if run_device else None
     runner = DeviceEpochRunner(model, optax.adam(1e-3), csr, fanouts, batch,
-                               train_nodes, seed=0)
-    state = runner.init_state(feats)
-    state, loss = runner.run_epoch(state, feats, labels)
-    print(f"[epoch] device pipeline compiled {time.perf_counter()-t0:.1f}s "
-          f"(warmup loss {float(loss):.4f})", file=sys.stderr, flush=True)
-
-    def dev_epoch():
-        nonlocal state
+                               train_nodes, seed=0) if run_device else None
+    dev_s = 0.0
+    if run_device:
+        state = runner.init_state(feats)
         state, loss = runner.run_epoch(state, feats, labels)
-        return loss
+        print(f"[epoch] device pipeline compiled {time.perf_counter()-t0:.1f}s "
+              f"(warmup loss {float(loss):.4f})", file=sys.stderr, flush=True)
 
-    dev_s, dev_loss = timed_epochs(dev_epoch)
-    n_batches = runner.n_batches
-    dev_ms = dev_s / n_batches * 1e3
-    detail["device_pipeline"] = {
-        "epoch_s": round(dev_s, 3), "n_batches": n_batches,
-        "batch_ms_incl_sampling": round(dev_ms, 3),
-        "loss": round(dev_loss, 4),
-        "vs_dgll_products_batch": round(6.12 / dev_ms, 2),
-    }
+        def dev_epoch():
+            nonlocal state
+            state, loss = runner.run_epoch(state, feats, labels)
+            return loss
+
+        dev_s, dev_loss = timed_epochs(dev_epoch)
+        n_batches = runner.n_batches
+        dev_ms = dev_s / n_batches * 1e3
+        detail["device_pipeline"] = {
+            "epoch_s": round(dev_s, 3), "n_batches": n_batches,
+            "batch_ms_incl_sampling": round(dev_ms, 3),
+            "loss": round(dev_loss, 4),
+            "vs_dgll_products_batch": round(6.12 / dev_ms, 2),
+        }
 
     # ---------------- block-window sampling (one CSR window row per node —
     # XLA's gather costs ~4 ns/ROW, so this cuts sampling gathers by the fanout)
-    if os.environ.get("EB_WINDOW", "1") == "1":
+    if run_device and os.environ.get("EB_WINDOW", "1") == "1":
         runner_w = DeviceEpochRunner(model, optax.adam(1e-3), csr, fanouts,
                                      batch, train_nodes, seed=0, window=True)
         state_w = runner_w.init_state(feats)
@@ -136,7 +143,7 @@ def main():
         }
 
     # ---------------- window + bf16 combined (the fastest configuration)
-    if os.environ.get("EB_WINDOW", "1") == "1" and run_bf16:
+    if run_device and os.environ.get("EB_WINDOW", "1") == "1" and run_bf16:
         model16w = GraphSAGE(hidden=hidden, n_class=n_class, dropout=0.0,
                              dtype=jnp.bfloat16)
         runner_wb = DeviceEpochRunner(model16w, optax.adam(1e-3), csr, fanouts,
@@ -185,7 +192,9 @@ def main():
             "vs_dgll_products_batch": round(6.12 / b16_ms, 2),
         }
 
-    # ---------------- host pipeline (fallback for >HBM graphs)
+    # ---------------- host pipeline (fallback for >HBM graphs): PACKED form —
+    # the host ships only (ids, mask) per batch; blocks rebuilt + features
+    # gathered inside the jitted step (2 H2D transfers/batch)
     if run_host:
         hg = HostGraph(indptr, src_s, n_node)
         sampler = NeighborSampler(fanouts, seed=0)
@@ -194,22 +203,24 @@ def main():
         from dgll_tpu.dataloader import DataLoader
 
         loader = DataLoader(hg, train_nodes, sampler, batch, prefetch=4, seed=0,
-                            device=dev, n_producers=2)
+                            device=dev, n_producers=2, packed=True)
         _, _, b0 = sampler.sample(hg, train_nodes[:batch], pad_to=batch)
         x0 = jnp.take(feats, jnp.asarray(b0[0].src_ids), axis=0)
         hstate = tr.init_state(b0, x0)
-        hstate, _, _ = tr.run_epoch(
-            hstate, DataLoader(hg, train_nodes[: 2 * batch], sampler, batch, seed=1),
-            feats, labels)
+        hstate, _, _ = tr.run_epoch_packed(
+            hstate, DataLoader(hg, train_nodes[: 2 * batch], sampler, batch,
+                               seed=1, packed=True),
+            feats, labels, fanouts)
 
         def host_epoch():
             nonlocal hstate
-            hstate, l, _ = tr.run_epoch(hstate, loader, feats, labels)
-            return l  # run_epoch already syncs the loss total
+            hstate, l, _ = tr.run_epoch_packed(hstate, loader, feats, labels,
+                                               fanouts)
+            return l  # run_epoch_packed already syncs the loss total
 
         host_s, _ = timed_epochs(host_epoch)
         host_ms = host_s / len(loader) * 1e3
-        detail["host_pipeline"] = {
+        detail["host_pipeline_packed"] = {
             "epoch_s": round(host_s, 3), "n_batches": len(loader),
             "batch_ms_incl_sampling": round(host_ms, 3),
             "vs_dgll_products_batch": round(6.12 / host_ms, 2),

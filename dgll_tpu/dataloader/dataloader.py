@@ -41,11 +41,15 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         n_producers: int = 1,
+        packed: bool = False,
     ):
         """``num_shards``/``shard_index`` give per-rank seed sharding (the reference's
         ``use_ddp=True`` dataloader split, ``MQGCN.py:121``). ``n_producers`` > 1
         samples batches on several host threads concurrently (the C++ sampler
-        releases the GIL); batch order is then nondeterministic within an epoch."""
+        releases the GIL); batch order is then nondeterministic within an epoch.
+        ``packed=True`` yields ``(ids, mask)`` frontier-growth buffers instead of
+        ``(inp, out, blocks)`` — 2 H2D transfers per batch; consume with
+        ``make_packed_block_step`` (requires a sampler with ``sample_packed``)."""
         self.host_g = g if isinstance(g, HostGraph) else HostGraph.from_graph(g)
         self.seeds = np.asarray(seeds, np.int64)
         if num_shards > 1:
@@ -57,6 +61,7 @@ class DataLoader:
         self.prefetch = max(int(prefetch), 0)
         self.device = device
         self.n_producers = max(int(n_producers), 1)
+        self.packed = bool(packed)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -71,6 +76,12 @@ class DataLoader:
             yield seeds[i * self.batch_size : (i + 1) * self.batch_size]
 
     def _make(self, batch_seeds):
+        if self.packed:
+            ids, mask = self.sampler.sample_packed(
+                self.host_g, batch_seeds, pad_to=self.batch_size)
+            if self.device is not None:
+                ids, mask = jax.device_put((ids, mask), self.device)
+            return ids, mask
         inp, out, blocks = self.sampler.sample(self.host_g, batch_seeds, pad_to=self.batch_size)
         if self.device is not None:
             blocks = jax.device_put(blocks, self.device)

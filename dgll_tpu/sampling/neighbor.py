@@ -127,6 +127,53 @@ class NeighborSampler(BaseSampler):
         input_nodes = np.asarray(blocks[0].src_ids, np.int64) if blocks else dst_ids
         return input_nodes, dst_ids, blocks
 
+    def sample_packed(
+        self, g: HostGraph, seeds: np.ndarray, pad_to: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """The transfer-minimal form of :meth:`sample`: returns just
+        ``(ids int32 [n_final], mask uint8 [n_final])`` — the frontier-growth
+        buffers every Block is a view of. Ship these two arrays to the device
+        and rebuild the blocks INSIDE the jitted step
+        (``trainer.make_packed_block_step``): 2 H2D transfers per batch instead
+        of 8, which matters enormously on relay/remote-attached TPUs.
+        """
+        seeds = np.asarray(seeds, np.int64)
+        b = len(seeds) if pad_to is None else int(pad_to)
+        dst_ids = np.full(b, self._lo, np.int64)
+        dst_ids[: len(seeds)] = seeds
+        dst_mask = np.zeros(b, bool)
+        dst_mask[: len(seeds)] = True
+        with self._rng_lock:
+            batch_seed = int(self._rng.integers(0, 2**63 - 1))
+        fused = native.sample_block_fused(
+            g.indptr, g.src, dst_ids, dst_mask,
+            list(reversed(self.fanouts)), batch_seed,
+            lo=self._lo, hi=self._hi,
+        )
+        if fused is not None:
+            ids, mask, _ = fused
+            return ids, mask
+        # no native lib: build the buffers from the per-layer fallback blocks
+        _, _, blocks = self.sample(g, seeds, pad_to)
+        n_final = blocks[0].n_src if blocks else b
+        ids = np.empty(n_final, np.int32)
+        mask = np.empty(n_final, np.uint8)
+        ids[:b] = dst_ids
+        mask[:b] = dst_mask
+        for blk in reversed(blocks):
+            n_k = blk.n_dst
+            ids[n_k : n_k * (1 + blk.fanout)] = np.asarray(blk.src_ids)[n_k:]
+            mask[n_k : n_k * (1 + blk.fanout)] = np.asarray(blk.neigh_mask).reshape(-1)
+        return ids, mask
+
+    @staticmethod
+    def packed_sizes(batch: int, fanouts: Sequence[int]) -> List[int]:
+        """Frontier lengths after each growth layer: ``sizes[0] == batch``."""
+        sizes = [int(batch)]
+        for f in reversed([int(x) for x in fanouts]):
+            sizes.append(sizes[-1] * (1 + f))
+        return sizes
+
 
 # Alias matching the reference class name for drop-in familiarity.
 DGLLNeighborSampler = NeighborSampler

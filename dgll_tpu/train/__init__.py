@@ -20,9 +20,11 @@ from dgll_tpu.train.trainer import (
     FullBatchTrainer,
     MiniBatchTrainer,
     TrainState,
+    blocks_from_packed,
     create_train_state,
     make_block_eval,
     make_block_step,
+    make_packed_block_step,
     make_full_batch_eval,
     make_full_batch_step,
 )
@@ -47,6 +49,8 @@ __all__ = [
     "make_full_batch_eval",
     "make_block_step",
     "make_block_eval",
+    "blocks_from_packed",
+    "make_packed_block_step",
     "DeviceEpochRunner",
     "DeviceDPEpochRunner",
     "make_device_epoch_fn",

@@ -85,6 +85,62 @@ def make_block_step(loss_fn=masked_nll_loss):
     return step
 
 
+def blocks_from_packed(ids, mask, fanouts):
+    """Rebuild the outermost-first Block list from the frontier-growth buffers
+    (``NeighborSampler.sample_packed``) — pure static slicing, zero data
+    movement, safe inside jit. ``ids``/``mask`` are [n_final]; the batch size is
+    implied by the growth: sizes[k+1] = sizes[k] * (1 + reversed(fanouts)[k])."""
+    from dgll_tpu.sampling.base import Block
+
+    fanouts = [int(f) for f in fanouts]
+    total_grow = 1
+    for f in fanouts:
+        total_grow *= 1 + f
+    b = ids.shape[0] // total_grow
+    mask_b = mask.astype(bool)
+    blocks = []
+    n_k = b
+    for f in reversed(fanouts):
+        n_next = n_k * (1 + f)
+        blocks.insert(0, Block(
+            dst_ids=ids[:n_k],
+            src_ids=ids[:n_next],
+            neigh_mask=mask_b[n_k:n_next].reshape(n_k, f),
+            dst_mask=mask_b[:n_k],
+            fanout=f,
+            n_dst=int(n_k),
+        ))
+        n_k = n_next
+    return blocks
+
+
+def make_packed_block_step(fanouts, loss_fn=masked_nll_loss):
+    """Jitted minibatch step over the PACKED batch form: the host ships only
+    ``(ids, mask)`` (2 transfers/batch instead of 8 block leaves + 2 gathers);
+    blocks are rebuilt and features/labels gathered inside the program.
+    ``feats``/``labels`` must be device-resident full arrays."""
+
+    fanouts = [int(f) for f in fanouts]
+
+    @jax.jit
+    def step(state: TrainState, ids, mask, feats, labels, dropout_rng):
+        blocks = blocks_from_packed(ids, mask, fanouts)
+        x = jnp.take(feats, blocks[0].src_ids, axis=0)
+        y = jnp.take(labels, blocks[-1].dst_ids, axis=0)
+
+        def loss_of(params):
+            logp = state.apply_fn(
+                {"params": params}, blocks, x, deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            return loss_fn(logp, y, blocks[-1].dst_mask)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return step
+
+
 def make_scanned_block_step(loss_fn=masked_nll_loss):
     """K training steps in ONE dispatch: batches stacked on a leading axis and
     consumed by ``lax.scan`` (blocks share static shapes, so this compiles once).
@@ -224,6 +280,7 @@ class MiniBatchTrainer:
     def __init__(self, model, optimizer, loss_fn=masked_nll_loss, seed: int = 0):
         self.model = model
         self.optimizer = optimizer
+        self.loss_fn = loss_fn
         self.step = make_block_step(loss_fn)
         self.evaluate = make_block_eval()
         self.rng = jax.random.key(seed)
@@ -281,6 +338,30 @@ class MiniBatchTrainer:
                                             blocks[-1].dst_mask, drng)
                     total = loss if total is None else total + loss
                     nb += 1
+        total = float(total) if total is not None else 0.0
+        return state, total / max(nb, 1), time.perf_counter() - t0
+
+    def run_epoch_packed(self, state: TrainState, loader, features, labels,
+                         fanouts) -> tuple:
+        """One epoch over a ``packed=True`` loader: each batch is just
+        ``(ids, mask)``; blocks are rebuilt and features gathered inside the
+        jitted step (2 H2D transfers + 1 dispatch per batch — the
+        transfer-minimal host pipeline for relay-attached chips)."""
+        features, labels = jax.tree.map(jnp.asarray, (features, labels))
+        if not hasattr(self, "_packed_steps"):
+            self._packed_steps = {}
+        key = tuple(int(f) for f in fanouts)
+        if key not in self._packed_steps:
+            self._packed_steps[key] = make_packed_block_step(key, self.loss_fn)
+        step = self._packed_steps[key]
+        total, nb = None, 0
+        t0 = time.perf_counter()
+        for ids, mask in loader:
+            self.rng, drng = jax.random.split(self.rng)
+            state, loss = step(state, jnp.asarray(ids), jnp.asarray(mask),
+                               features, labels, drng)
+            total = loss if total is None else total + loss
+            nb += 1
         total = float(total) if total is not None else 0.0
         return state, total / max(nb, 1), time.perf_counter() - t0
 

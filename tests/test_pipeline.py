@@ -1,4 +1,5 @@
 """Pipelined (MQ-style) trainer: cached + uncached feature paths, early stop, stats."""
+import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
@@ -57,3 +58,73 @@ def test_early_stopping(g):
     tr.init(g.get_train_nodes())
     res = tr.fit(g.get_train_nodes(), g.get_validation_nodes(), epochs=50, patience=2)
     assert len(res["history"]) < 50
+
+
+class TestPackedPipeline:
+    """Transfer-minimal host pipeline: (ids, mask) buffers + in-jit unpacking."""
+
+    def _setup(self):
+        from dgll_tpu.data import synthetic_classification_graph, gcn_normalize
+
+        g = gcn_normalize(synthetic_classification_graph(
+            n_node=400, avg_degree=8, n_class=4, feat_dim=16, seed=0))
+        return g
+
+    def test_packed_matches_block_semantics(self):
+        import jax
+        from dgll_tpu.sampling import HostGraph, NeighborSampler
+        from dgll_tpu.train.trainer import blocks_from_packed
+
+        g = self._setup()
+        hg = HostGraph.from_graph(g)
+        fanouts = [4, 3]
+        s = NeighborSampler(fanouts, seed=0)
+        ids, mask = s.sample_packed(hg, np.arange(16), pad_to=16)
+        assert ids.dtype == np.int32
+        sizes = NeighborSampler.packed_sizes(16, fanouts)
+        assert len(ids) == sizes[-1] == 16 * 4 * 5
+        blocks = blocks_from_packed(jnp.asarray(ids), jnp.asarray(mask), fanouts)
+        assert len(blocks) == 2
+        assert blocks[-1].n_dst == 16 and blocks[-1].fanout == 3
+        assert blocks[0].n_dst == 64 and blocks[0].fanout == 4
+        # seeds at the head, self-at-head protocol
+        assert (np.asarray(blocks[-1].src_ids[:16]) == np.arange(16)).all()
+        # every masked-valid sampled id is a real in-neighbour of its dst
+        indptr = np.asarray(g.indptr); src = np.asarray(g.src)
+        blk = blocks[-1]
+        sm = np.asarray(blk.neigh_mask); sampled = np.asarray(
+            blk.src_ids[16:]).reshape(16, 3)
+        for i in range(16):
+            nbrs = set(src[indptr[i]:indptr[i + 1]].tolist())
+            for j in range(3):
+                if sm[i, j]:
+                    assert sampled[i, j] in nbrs
+
+    def test_packed_epoch_learns_and_matches_loader(self):
+        import jax
+        import optax
+        from dgll_tpu.dataloader import DataLoader
+        from dgll_tpu.nn import GraphSAGE
+        from dgll_tpu.sampling import HostGraph, NeighborSampler
+        from dgll_tpu.train import MiniBatchTrainer
+
+        g = self._setup()
+        hg = HostGraph.from_graph(g)
+        fanouts = [4, 3]
+        sampler = NeighborSampler(fanouts, seed=0)
+        loader = DataLoader(hg, g.get_train_nodes(), sampler, 32, packed=True,
+                            seed=0)
+        first = next(iter(loader))
+        assert isinstance(first, tuple) and len(first) == 2
+
+        model = GraphSAGE(hidden=16, n_class=4, dropout=0.0)
+        tr = MiniBatchTrainer(model, optax.adam(1e-2))
+        _, _, b0 = sampler.sample(hg, g.get_train_nodes()[:32], pad_to=32)
+        x0 = jnp.take(jnp.asarray(g.node_feat), jnp.asarray(b0[0].src_ids), axis=0)
+        state = tr.init_state(b0, x0)
+        losses = []
+        for _ in range(6):
+            state, loss, _ = tr.run_epoch_packed(
+                state, loader, g.node_feat, g.labels, fanouts)
+            losses.append(loss)
+        assert losses[-1] < losses[0]
