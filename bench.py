@@ -66,7 +66,15 @@ def main() -> None:
     t0 = time.perf_counter()
     src, dst = _power_law_graph(n_node, avg_deg)
     _log(f"graph gen {time.perf_counter()-t0:.1f}s ({n_node} nodes, {len(src)} edges)")
-    indptr, src_s, _, _ = native.build_csr_apply(dst, src, None, n_node)
+    fused = native.build_csr_apply(dst, src, None, n_node)
+    if fused is not None:
+        indptr, src_s, _, _ = fused
+    else:  # no native toolchain: numpy CSR build
+        order = np.argsort(dst, kind="stable")
+        src_s = src[order].astype(np.int32)
+        indptr = np.zeros(n_node + 1, np.int64)
+        np.add.at(indptr, dst + 1, 1)
+        indptr = np.cumsum(indptr)
     _log(f"csr built {time.perf_counter()-t0:.1f}s")
 
     rng = np.random.default_rng(0)

@@ -88,12 +88,12 @@ class DataLoader:
         return inp, out, blocks
 
     def __iter__(self) -> Iterator:
-        if self.prefetch == 0:
+        if self.prefetch == 0 and self.n_producers <= 1:
             for bs in self._batches():
                 yield self._make(bs)
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         _SENTINEL = object()
         err: list = []
         n_prod = self.n_producers

@@ -170,6 +170,38 @@ def _prepare_pipeline(cfg, g, model, n_class, timer, extra, log):
     return cfg, g, model, book, cache, fetch
 
 
+
+def _finalize_trial(cfg, timer, t_start, extra, test_acc, f1, best_val,
+                    n_epochs_run, final_params):
+    """Shared trial epilogue: checkpoint save + per-dataset headline metric +
+    result dict (single source of truth for every branch)."""
+    import jax
+
+    from dgll_tpu.train.metrics import metric_for_dataset
+
+    total = time.perf_counter() - t_start
+    if cfg.checkpoint_dir:
+        from dgll_tpu.train import CheckpointManager
+
+        save_step = n_epochs_run + (extra.get("resumed_from") or 0)
+        mgr = CheckpointManager(cfg.checkpoint_dir)
+        mgr.save(save_step, jax.tree.map(np.asarray, final_params), wait=True)
+        mgr.close()
+    metric_name = metric_for_dataset(cfg.dataset)
+    metric_value = {"acc": test_acc, "f1": f1}.get(metric_name, test_acc)
+    return {
+        "test_acc": float(test_acc),
+        "micro_f1": float(f1),
+        "metric_name": metric_name,
+        "metric": float(metric_value),
+        "best_val": float(best_val),
+        "epochs": n_epochs_run,
+        "train_s": timer.totals.get("train", total),
+        "total_s": total,
+        **extra,
+    }
+
+
 def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
                   book=None, fetch=None) -> dict:
     """Data-parallel minibatch training over ``--n_devices`` mesh devices, sync or
@@ -202,18 +234,92 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
     sampler = build_sampler(cfg, g)
     per_dev = max(cfg.batch_size // D, 1)
     train_nodes = g.get_train_nodes()
+
+    if cfg.device_sampling:
+        # ---- DP x on-device sampling: every device samples its sub-batch
+        # from the replicated HBM CSR inside the scanned epoch (psum grads)
+        if book is not None or fetch is not None:
+            raise ValueError(
+                "--device_sampling keeps the graph and features HBM-resident; "
+                "it composes with neither --n_parts nor --cached_nPercent")
+        from dgll_tpu.dataloader import DataLoader
+        from dgll_tpu.sampling import DeviceCSR
+        from dgll_tpu.train import DeviceDPEpochRunner, micro_f1
+
+        csr = DeviceCSR.from_graph(g)
+        feats_d = jnp.asarray(g.node_feat)
+        labels_d = jnp.asarray(g.labels)
+        runner = DeviceDPEpochRunner(
+            model, tx, csr, cfg.fanouts, per_dev, train_nodes, mesh,
+            seed=trial_seed, window=cfg.window_sampling)
+        state = runner.init_state(feats_d)
+        params0, resumed = _maybe_restore_params(cfg, state.params)
+        if resumed is not None:
+            state = state.replace(params=jax.tree.map(jnp.asarray, params0))
+        ev = MiniBatchTrainer(model, tx, seed=trial_seed)
+        val_loader = DataLoader(g, g.get_validation_nodes(), sampler,
+                                cfg.batch_size, shuffle=False,
+                                seed=trial_seed + 1)
+        best_val, bad, n_epochs_run = -np.inf, 0, 0
+        loss = np.inf
+        for epoch in range(cfg.n_epochs):
+            with timer.phase("train"):
+                state, loss = runner.run_epoch(state, feats_d, labels_d)
+                loss = float(loss)
+            n_epochs_run += 1
+            with timer.phase("validate"):
+                val = ev.evaluate_nodes(state, val_loader, feats_d, labels_d)
+            if val > best_val:
+                best_val, bad = val, 0
+            else:
+                bad += 1
+            log.info(f"[dp x{D} device-sampling] epoch {epoch} "
+                     f"loss {loss:.4f} val {val:.4f}")
+            if cfg.n_stops and bad >= cfg.n_stops:
+                break
+        test_loader = DataLoader(g, g.get_test_nodes(), sampler,
+                                 cfg.batch_size, shuffle=False,
+                                 seed=trial_seed + 2)
+        pred, y = ev.predict_nodes(state, test_loader, feats_d, labels_d)
+        return {
+            "test_acc": float((pred == y).mean()) if len(pred) else 0.0,
+            "micro_f1": micro_f1(pred, y),
+            "best_val": float(best_val),
+            "epochs": n_epochs_run,
+            "params": state.params,
+            "extra": {"n_devices": D, "async_dp": False,
+                      "device_sampling": True,
+                      "window_sampling": bool(cfg.window_sampling),
+                      "resumed_from": resumed},
+        }
+
     if book is not None:
         from dgll_tpu.sampling import CommunityNeighborSampler
 
+        # ONE shared per-device batch size across communities: distinct block
+        # shapes would retrace/recompile the DP step per community (minutes
+        # each on relay-attached chips). bc is sized so the largest community
+        # trains at full batch; communities with fewer than one bc*D step of
+        # seeds are skipped (logged) rather than shrinking the shapes.
+        per_comm = [
+            train_nodes[(train_nodes >= lo) & (train_nodes < hi)]
+            for lo, hi in book.values()
+        ]
+        largest = max((len(sc) for sc in per_comm), default=0)
+        bc = max(1, min(per_dev, largest // D))
         loaders = []
-        for cid, (lo, hi) in book.items():
-            seeds_c = train_nodes[(train_nodes >= lo) & (train_nodes < hi)]
-            if len(seeds_c) < D:  # need >= 1 seed per device shard
+        skipped = 0
+        for (lo, hi), seeds_c in zip(book.values(), per_comm):
+            if len(seeds_c) < bc * D:
+                skipped += len(seeds_c)
                 continue
-            bc = min(per_dev, max(len(seeds_c) // D, 1))
             cs = CommunityNeighborSampler(cfg.fanouts, (lo, hi), seed=cfg.seed)
             loaders.append(ShardedDataLoader(hg, seeds_c, cs, bc, D,
                                              seed=trial_seed))
+        if skipped:
+            log.info(f"community DP: skipped {skipped} train seeds in "
+                     f"communities smaller than one step ({bc * D}); one "
+                     f"shared per-device batch {bc} keeps a single compile")
     else:
         loaders = [ShardedDataLoader(hg, train_nodes, sampler, per_dev, D,
                                      seed=trial_seed)]
@@ -224,7 +330,10 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
             f"{per_dev * D} train seeds per (community) loader; have "
             f"{len(train_nodes)} — lower --batch_size or raise the train split"
         )
-    feats = jnp.asarray(g.node_feat)
+    # with the HBM cache active, x gathers go through fetch(); uploading the
+    # full [N, d] matrix as well would double-allocate the memory the cache
+    # exists to save
+    feats = None if fetch is not None else jnp.asarray(g.node_feat)
     labels = jnp.asarray(g.labels)
 
     use_dropout = cfg.dropout > 0
@@ -238,7 +347,10 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
     outs, blocks0 = next(iter(loaders[0]))
     local = jax.tree.map(lambda a: a[0], blocks0,
                          is_leaf=lambda a: isinstance(a, jax.Array))
-    x0 = jnp.take(feats, local[0].src_ids, axis=0)
+    if fetch is not None:
+        x0 = fetch(np.asarray(local[0].src_ids))
+    else:
+        x0 = jnp.take(feats, local[0].src_ids, axis=0)
     params = model.init(jax.random.key(trial_seed), local, x0)["params"]
     params, resumed = _maybe_restore_params(cfg, params)
     opt_state = tx.init(params)
@@ -422,6 +534,10 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
             csr = DeviceCSR.from_graph(g)
             feats = jnp.asarray(g.node_feat)
             labels = jnp.asarray(g.labels)
+            if cfg.window_sampling:
+                log.info("device sampling: block-window mode (marginally "
+                         "uniform, draws within a node correlated; "
+                         "--no_window_sampling for exact per-slot draws)")
             runner = DeviceEpochRunner(
                 model, tx, csr, cfg.fanouts, cfg.batch_size, train_nodes,
                 seed=trial_seed, window=cfg.window_sampling)
@@ -459,28 +575,8 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
             final_params = state.params
             extra["device_sampling"] = True
             extra["window_sampling"] = bool(cfg.window_sampling)
-            total = time.perf_counter() - t_start
-            if cfg.checkpoint_dir:
-                from dgll_tpu.train import CheckpointManager
-
-                save_step = n_epochs_run + (extra.get("resumed_from") or 0)
-                mgr = CheckpointManager(cfg.checkpoint_dir)
-                mgr.save(save_step, jax.tree.map(np.asarray, final_params),
-                         wait=True)
-                mgr.close()
-            metric_name = metric_for_dataset(cfg.dataset)
-            metric_value = {"acc": test_acc, "f1": f1}.get(metric_name, test_acc)
-            return {
-                "test_acc": float(test_acc),
-                "micro_f1": float(f1),
-                "metric_name": metric_name,
-                "metric": float(metric_value),
-                "best_val": float(best_val),
-                "epochs": n_epochs_run,
-                "train_s": timer.totals.get("train", total),
-                "total_s": total,
-                **extra,
-            }
+            return _finalize_trial(cfg, timer, t_start, extra, test_acc, f1,
+                                   best_val, n_epochs_run, final_params)
 
         if book is not None:
             from dgll_tpu.sampling import CommunityNeighborSampler
@@ -544,28 +640,9 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
             extra["cache_lookups"] = int(lookups)
             extra["cached_rows"] = int(cache.k)
 
-    total = time.perf_counter() - t_start
-    if cfg.checkpoint_dir:
-        from dgll_tpu.train import CheckpointManager
-
-        save_step = n_epochs_run + (extra.get("resumed_from") or 0)
-        mgr = CheckpointManager(cfg.checkpoint_dir)
-        mgr.save(save_step, jax.tree.map(np.asarray, final_params), wait=True)
-        mgr.close()
     # headline metric chosen per dataset (ref GPU Accelerator/utils.py:60-91)
-    metric_name = metric_for_dataset(cfg.dataset)
-    metric_value = {"acc": test_acc, "f1": f1}.get(metric_name, test_acc)
-    return {
-        "test_acc": float(test_acc),
-        "micro_f1": float(f1),
-        "metric_name": metric_name,
-        "metric": float(metric_value),
-        "best_val": float(best_val),
-        "epochs": n_epochs_run,
-        "train_s": timer.totals.get("train", total),
-        "total_s": total,
-        **extra,
-    }
+    return _finalize_trial(cfg, timer, t_start, extra, test_acc, f1,
+                           best_val, n_epochs_run, final_params)
 
 
 def main(argv=None) -> dict:

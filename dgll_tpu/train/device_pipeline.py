@@ -137,7 +137,10 @@ def make_device_dp_epoch_fn(
         )
         def dp_step(params, csr_, feats_, labels_, bs, bm, kd, ks):
             bs, bm = bs.reshape(-1), bm.reshape(-1)
+            # per-device keys for BOTH sampling and dropout — a replicated
+            # dropout key would correlate masks across the whole mesh
             ks = jax.random.fold_in(ks, jax.lax.axis_index(axis))
+            kd = jax.random.fold_in(kd, jax.lax.axis_index(axis))
             _, _, blocks = sample_blocks_device(csr_, bs, bm, fanouts, ks,
                                                 window=window)
             x = jnp.take(feats_, blocks[0].src_ids, axis=0)

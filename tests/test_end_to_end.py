@@ -349,3 +349,19 @@ def test_cli_device_sampling_flow():
             "--n_epochs", "1", "--batch_size", "32", "--device_sampling",
             "--cached_nPercent", "25", "--fanouts", "3,2",
         ])
+
+
+def test_cli_dp_device_sampling():
+    """--device_sampling composes with --n_gpus: every mesh device samples its
+    sub-batch on device inside the scanned epoch (psum grads)."""
+    from dgll_tpu import run as cli
+
+    out = cli.main([
+        "--dataset", "synthetic", "--n_node", "500", "--avg_degree", "8",
+        "--feat_dim", "16", "--n_class", "4", "--Model", "SAGE",
+        "--n_epochs", "3", "--batch_size", "64", "--n_gpus", "4",
+        "--device_sampling", "--fanouts", "4,3",
+    ])
+    t = out["trials"][0]
+    assert t["n_devices"] == 4 and t["device_sampling"] is True
+    assert t["test_acc"] > 0.5
