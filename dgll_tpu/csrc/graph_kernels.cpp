@@ -424,8 +424,16 @@ void dgll_sample_block_fused(const int64_t* indptr, const int64_t* nbrs,
     for (int64_t k = 0; k < n_layers; ++k) {
         const int64_t f = fanouts[k];
         parallel_for(n, 2048, [&](int64_t lo, int64_t hi, int w) {
-            Rng rng(seed * 0x100000001b3ULL + (uint64_t)(k * 131 + w) * 0x9e3779b9ULL + lo);
+            (void)w;
             for (int64_t i = lo; i < hi; ++i) {
+                // Seed per ROW from machine-independent state only (user seed,
+                // layer, row index) — never from worker ids or chunk bounds,
+                // which derive from hardware_concurrency(): the same seed must
+                // reproduce the same sample on any core count (and match the
+                // single-thread path). Rng init is two splitmix64 rounds, noise
+                // next to the fanout loop's gather work.
+                Rng rng(seed * 0x100000001b3ULL + (uint64_t)k * 0x9e3779b9ULL +
+                        (uint64_t)i * 0x85ebca6b9ULL);
                 const int64_t v = ids[i];
                 const int64_t d0 = indptr[v], deg = indptr[v + 1] - d0;
                 const bool ok = mask[i] && deg > 0;

@@ -226,7 +226,10 @@ def sample_block_fused(
         seed & 0xFFFFFFFFFFFFFFFF,
         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _pu8(mask),
     )
-    return ids, mask, sizes
+    # Slice (zero-copy views) so buffer reuse with an oversized out buffer can
+    # never change the returned shape — blocks_from_packed infers the batch
+    # size from ids.shape[0] // total_grow and would silently misalign blocks.
+    return ids[:n_final], mask[:n_final], sizes
 
 
 def remap(mapping: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -338,7 +338,8 @@ def test_cli_device_sampling_flow():
         "--fanouts", "4,3",
     ])
     t = out["trials"][0]
-    assert t["device_sampling"] is True and t["window_sampling"] is True
+    # exact i.i.d. per-slot draws are the default; --window_sampling opts in
+    assert t["device_sampling"] is True and t["window_sampling"] is False
     assert t["test_acc"] > 0.5
 
     # incompatible compositions are rejected loudly
