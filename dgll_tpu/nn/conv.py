@@ -51,10 +51,18 @@ def _require_self_at_head(g, layer: str) -> None:
         )
 
 
+def _is_weighted_block(g) -> bool:
+    """Fixed-K weighted block (device layer-wise samplers): dense gather+einsum."""
+    return getattr(g, "slot", None) is not None
+
+
 def _weighted_aggregate(g, h: jax.Array, n_dst: int) -> jax.Array:
     """Weighted-sum aggregation, routed to the Pallas chunked kernel when the graph
     carries a chunked layout (``Graph.with_chunked``) and the width is MXU-tileable;
     falls back to the XLA segment path otherwise."""
+    if _is_weighted_block(g):
+        rows = jnp.take(h, g.slot.reshape(-1), axis=0).reshape(n_dst, g.k, -1)
+        return jnp.einsum("nk,nkf->nf", g.weight.astype(h.dtype), rows)
     c = getattr(g, "chunked", None)
     if c is not None and h.shape[-1] % 128 == 0 and c.n_rows >= n_dst:
         from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked

@@ -79,6 +79,29 @@ def build_sampler(cfg, g):
     return cls(lap, sizes, flatten=cfg.flatten, wrs=cfg.wrs, seed=cfg.seed)
 
 
+def _device_sampling_graph(cfg, g, log):
+    """Device graph object + per-layer sizes for ``--device_sampling``.
+
+    ``neighbor``: HBM CSR + fanouts. ``fastgcn``/``ladies``: ELL-packed
+    normalised Laplacian (``sampling/device_layerwise.py``) + geometric layer
+    sizes from ``--n_samp``/``--samp_growth_rate`` — the same size schedule the
+    host samplers use (ref ``MQFastGCNFlat.py:30-32``)."""
+    from dgll_tpu.sampling import DeviceCSR, build_device_lap, geometric_layer_sizes
+
+    if cfg.sampler == "neighbor":
+        if cfg.window_sampling:
+            log.info("device sampling: block-window mode (marginally "
+                     "uniform, draws within a node correlated; "
+                     "--no_window_sampling for exact per-slot draws)")
+        return DeviceCSR.from_graph(g), cfg.fanouts
+    sizes = geometric_layer_sizes(cfg.n_samp, cfg.samp_growth_rate, cfg.n_layers)
+    if cfg.wrs:
+        log.info("device layer-wise sampling draws WITH replacement "
+                 "(multiplicity-weighted unbiased estimator); --wrs's "
+                 "without-replacement draw is host-path only")
+    return build_device_lap(g, k=32, flatten=cfg.flatten), sizes
+
+
 def _maybe_restore_params(cfg, params):
     """``--resume``: load the latest checkpointed params over the fresh init.
 
@@ -223,8 +246,11 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
     from dgll_tpu.sampling import HostGraph
     from dgll_tpu.train import MiniBatchTrainer
 
-    if cfg.sampler != "neighbor":
-        raise ValueError("--n_devices > 1 requires --samp_type neighbor")
+    if cfg.sampler != "neighbor" and not (
+            cfg.device_sampling and cfg.sampler in ("fastgcn", "ladies")):
+        raise ValueError(
+            "--n_devices > 1 requires --samp_type neighbor (host sampling), or "
+            "--device_sampling with neighbor|fastgcn|ladies")
     D = cfg.n_devices
     devices = jax.devices()[:D]
     assert len(devices) == D, f"need {D} devices, have {len(jax.devices())}"
@@ -243,15 +269,14 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
                 "--device_sampling keeps the graph and features HBM-resident; "
                 "it composes with neither --n_parts nor --cached_nPercent")
         from dgll_tpu.dataloader import DataLoader
-        from dgll_tpu.sampling import DeviceCSR
         from dgll_tpu.train import DeviceDPEpochRunner, micro_f1
 
-        csr = DeviceCSR.from_graph(g)
+        dgraph, sizes = _device_sampling_graph(cfg, g, log)
         feats_d = jnp.asarray(g.node_feat)
         labels_d = jnp.asarray(g.labels)
         runner = DeviceDPEpochRunner(
-            model, tx, csr, cfg.fanouts, per_dev, train_nodes, mesh,
-            seed=trial_seed, window=cfg.window_sampling)
+            model, tx, dgraph, sizes, per_dev, train_nodes, mesh,
+            seed=trial_seed, window=cfg.window_sampling, sampler=cfg.sampler)
         state = runner.init_state(feats_d)
         params0, resumed = _maybe_restore_params(cfg, state.params)
         if resumed is not None:
@@ -518,29 +543,28 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
         train_nodes = g.get_train_nodes()
 
         if cfg.device_sampling:
-            # ---- fully device-resident pipeline: CSR + features in HBM,
+            # ---- fully device-resident pipeline: graph + features in HBM,
             # sampling inside the jitted program, one dispatch per epoch
             # (train/device_pipeline.py — the fastest single-chip path).
-            if cfg.sampler != "neighbor":
-                raise ValueError("--device_sampling requires --samp_type neighbor")
+            # Uniform neighbour fanout AND the layer-wise importance samplers
+            # (FastGCN/LADIES, sampling/device_layerwise.py) both run in-jit.
+            if cfg.sampler not in ("neighbor", "fastgcn", "ladies"):
+                raise ValueError(
+                    "--device_sampling supports --samp_type neighbor|fastgcn|ladies")
             if book is not None or fetch is not None:
                 raise ValueError(
                     "--device_sampling keeps the graph and features HBM-resident; "
                     "it composes with neither --n_parts nor --cached_nPercent "
                     "(use the host pipeline for those, or DP for scale-out)")
-            from dgll_tpu.sampling import DeviceCSR
             from dgll_tpu.train import DeviceEpochRunner
 
-            csr = DeviceCSR.from_graph(g)
+            dgraph, sizes = _device_sampling_graph(cfg, g, log)
             feats = jnp.asarray(g.node_feat)
             labels = jnp.asarray(g.labels)
-            if cfg.window_sampling:
-                log.info("device sampling: block-window mode (marginally "
-                         "uniform, draws within a node correlated; "
-                         "--no_window_sampling for exact per-slot draws)")
             runner = DeviceEpochRunner(
-                model, tx, csr, cfg.fanouts, cfg.batch_size, train_nodes,
-                seed=trial_seed, window=cfg.window_sampling)
+                model, tx, dgraph, sizes, cfg.batch_size, train_nodes,
+                seed=trial_seed, window=cfg.window_sampling,
+                sampler=cfg.sampler)
             state = runner.init_state(feats)
             p, resumed = _maybe_restore_params(cfg, state.params)
             if resumed is not None:

@@ -3,7 +3,14 @@ from dgll_tpu.sampling.base import (
     Block,
     HostGraph,
     SparseBlock,
+    WeightedBlock,
     sample_neighbors_padded,
+)
+from dgll_tpu.sampling.device_layerwise import (
+    DeviceLap,
+    DeviceLayerWiseSampler,
+    build_device_lap,
+    sample_blocks_device_layerwise,
 )
 from dgll_tpu.sampling.device_sampler import (
     DeviceCSR,
@@ -27,6 +34,11 @@ __all__ = [
     "BaseSampler",
     "Block",
     "SparseBlock",
+    "WeightedBlock",
+    "DeviceLap",
+    "DeviceLayerWiseSampler",
+    "build_device_lap",
+    "sample_blocks_device_layerwise",
     "HostGraph",
     "sample_neighbors_padded",
     "NeighborSampler",

@@ -125,6 +125,60 @@ class SparseBlock:
         return self.n_dst
 
 
+@struct.dataclass
+class WeightedBlock:
+    """Fixed-K weighted bipartite block — the device layer-wise samplers' output.
+
+    Each destination row owns exactly ``k`` weighted source SLOTS (``slot[i, j]``
+    indexes into ``src_ids``; ``weight[i, j]`` carries the rescaled Laplacian
+    value, 0 on invalid slots). Aggregation is therefore a dense gather +
+    einsum — no segment/scatter ops — the TPU shape of FastGCN/LADIES' sparse
+    ``Q @ x`` (the reference computes it as a scipy-sliced sparse matmul,
+    ``GPU Accelerator/MQFastGCN.py:75-88``).
+
+    Layer protocol: ``src_ids = [dst_ids | drawn]``, so source slot i < n_dst is
+    destination i itself (``self_at_head`` always True here). The COO-view
+    properties (``src``/``dst``/``edge_weight``) keep layers without a dense
+    fast path working unchanged.
+    """
+
+    dst_ids: jax.Array      # [n_dst] int32 global ids
+    src_ids: jax.Array      # [n_dst + s] int32 global ids (head: dst_ids)
+    slot: jax.Array         # [n_dst, k] int32 local into src_ids (0 when weight 0)
+    weight: jax.Array       # [n_dst, k] float32 rescaled Laplacian (0 invalid)
+    dst_mask: jax.Array     # [n_dst] bool
+    src_mask: jax.Array     # [n_dst + s] bool
+    n_dst: int = struct.field(pytree_node=False, default=0)
+    n_src: int = struct.field(pytree_node=False, default=0)
+    k: int = struct.field(pytree_node=False, default=0)
+    self_at_head: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def n_edge(self) -> int:
+        return self.n_dst * self.k
+
+    @property
+    def src(self) -> jax.Array:
+        return self.slot.reshape(-1)
+
+    @property
+    def dst(self) -> jax.Array:
+        return jnp.repeat(jnp.arange(self.n_dst, dtype=jnp.int32), self.k,
+                          total_repeat_length=self.n_edge)
+
+    @property
+    def edge_weight(self) -> jax.Array:
+        return self.weight.reshape(-1)
+
+    @property
+    def num_src_nodes(self) -> int:
+        return self.n_src
+
+    @property
+    def num_dst_nodes(self) -> int:
+        return self.n_dst
+
+
 class BaseSampler:
     """Abstract sampler (parity: ``Base_sampler.sample``, ``base_sampler.py:20-28``).
 

@@ -29,6 +29,33 @@ from dgll_tpu.train.metrics import masked_nll_loss
 from dgll_tpu.train.trainer import TrainState, create_train_state
 
 
+def make_sample_fn(fanouts: Sequence[int], window: bool = False,
+                   sampler: str = "neighbor"):
+    """Device-sampling callable ``(graph, seeds, mask, key) -> (inp, out, blocks)``.
+
+    ``sampler``: ``neighbor`` (uniform fanout over the HBM CSR; ``graph`` is a
+    :class:`DeviceCSR`) or ``fastgcn`` / ``ladies`` (layer-wise importance
+    draws; ``graph`` is a :class:`~dgll_tpu.sampling.device_layerwise.DeviceLap`
+    and ``fanouts`` is read as the per-layer sample sizes, outermost first).
+    """
+    fanouts = [int(f) for f in fanouts]
+    if sampler == "neighbor":
+        def fn(graph, bs, bm, key):
+            return sample_blocks_device(graph, bs, bm, fanouts, key,
+                                        window=window)
+    elif sampler in ("fastgcn", "ladies"):
+        from dgll_tpu.sampling.device_layerwise import (
+            sample_blocks_device_layerwise,
+        )
+
+        def fn(graph, bs, bm, key):
+            return sample_blocks_device_layerwise(graph, bs, bm, fanouts, key,
+                                                  mode=sampler)
+    else:
+        raise ValueError(f"unknown device sampler {sampler!r}")
+    return fn
+
+
 def make_device_epoch_fn(
     fanouts: Sequence[int],
     batch_size: int,
@@ -36,16 +63,17 @@ def make_device_epoch_fn(
     loss_fn: Callable = masked_nll_loss,
     feat_dtype=None,
     window: bool = False,
+    sampler: str = "neighbor",
 ):
     """Build ``epoch(state, csr, feats, labels, seeds, seed_mask, key)``.
 
     ``seeds``/``seed_mask`` are [n_batches * batch_size] padded device arrays;
     the function shuffles them (one permutation per epoch), scans the batches,
-    and returns ``(state, mean_loss)``. Everything, including the uniform
-    neighbour sampling, runs inside one jitted program — the epoch is a single
-    dispatch from the host.
+    and returns ``(state, mean_loss)``. Everything, including the sampling
+    (uniform neighbour or layer-wise FastGCN/LADIES — see :func:`make_sample_fn`),
+    runs inside one jitted program — the epoch is a single dispatch from the host.
     """
-    fanouts = [int(f) for f in fanouts]
+    sample_fn = make_sample_fn(fanouts, window, sampler)
     total = int(n_batches) * int(batch_size)
 
     # NOTE: no buffer donation here — donated outputs alias their inputs, which
@@ -65,8 +93,7 @@ def make_device_epoch_fn(
             off = i * batch_size
             bs = jax.lax.dynamic_slice(seeds_s, (off,), (batch_size,))
             bm = jax.lax.dynamic_slice(mask_s, (off,), (batch_size,))
-            _, out, blocks = sample_blocks_device(csr, bs, bm, fanouts, ks,
-                                                  window=window)
+            _, out, blocks = sample_fn(csr, bs, bm, ks)
             x = jnp.take(feats, blocks[0].src_ids, axis=0)
             if feat_dtype is not None:
                 x = x.astype(feat_dtype)
@@ -99,6 +126,7 @@ def make_device_dp_epoch_fn(
     feat_dtype=None,
     window: bool = False,
     axis: str = "data",
+    sampler: str = "neighbor",
 ):
     """Data-parallel twin of :func:`make_device_epoch_fn`: each mesh device
     samples ITS sub-batch from the (replicated) HBM CSR inside the program and
@@ -117,7 +145,7 @@ def make_device_dp_epoch_fn(
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map  # type: ignore
 
-    fanouts = [int(f) for f in fanouts]
+    sample_fn = make_sample_fn(fanouts, window, sampler)
     D = int(mesh.shape[axis])
     b = int(per_device_batch)
     total = int(n_batches) * D * b
@@ -141,8 +169,7 @@ def make_device_dp_epoch_fn(
             # dropout key would correlate masks across the whole mesh
             ks = jax.random.fold_in(ks, jax.lax.axis_index(axis))
             kd = jax.random.fold_in(kd, jax.lax.axis_index(axis))
-            _, _, blocks = sample_blocks_device(csr_, bs, bm, fanouts, ks,
-                                                window=window)
+            _, _, blocks = sample_fn(csr_, bs, bm, ks)
             x = jnp.take(feats_, blocks[0].src_ids, axis=0)
             if feat_dtype is not None:
                 x = x.astype(feat_dtype)
@@ -202,6 +229,7 @@ class DeviceEpochRunner:
         seed: int = 0,
         feat_dtype=None,
         window: bool = False,
+        sampler: str = "neighbor",
     ):
         self.model = model
         self.optimizer = optimizer
@@ -220,9 +248,10 @@ class DeviceEpochRunner:
         self.rng = jax.random.key(seed)
         self.epoch_fn = make_device_epoch_fn(
             self.fanouts, self.batch_size, self.n_batches, loss_fn, feat_dtype,
-            window=window,
+            window=window, sampler=sampler,
         )
         self._feat_dtype = feat_dtype
+        self._sample_fn = make_sample_fn(self.fanouts, window, sampler)
 
     def init_state(self, feats) -> TrainState:
         self.rng, kinit, ks = jax.random.split(self.rng, 3)
@@ -235,9 +264,7 @@ class DeviceEpochRunner:
         @jax.jit
         def sample_init(csr, feats_, key):
             seeds = jnp.arange(b, dtype=jnp.int32) % max(self.csr.n_node, 1)
-            _, _, blocks = sample_blocks_device(
-                csr, seeds, jnp.ones(b, bool), self.fanouts, key
-            )
+            _, _, blocks = self._sample_fn(csr, seeds, jnp.ones(b, bool), key)
             x = jnp.take(feats_, blocks[0].src_ids, axis=0)
             if self._feat_dtype is not None:
                 x = x.astype(self._feat_dtype)
@@ -275,14 +302,15 @@ class DeviceDPEpochRunner(DeviceEpochRunner):
         feat_dtype=None,
         window: bool = False,
         axis: str = "data",
+        sampler: str = "neighbor",
     ):
         D = int(mesh.shape[axis])
         super().__init__(model, optimizer, csr, fanouts,
                          batch_size=D * int(per_device_batch),
                          train_nodes=train_nodes, loss_fn=loss_fn, seed=seed,
-                         feat_dtype=feat_dtype, window=window)
+                         feat_dtype=feat_dtype, window=window, sampler=sampler)
         # replace the single-device epoch with the shard_map DP one
         self.epoch_fn = make_device_dp_epoch_fn(
             mesh, self.fanouts, int(per_device_batch), self.n_batches,
-            loss_fn, feat_dtype, window, axis,
+            loss_fn, feat_dtype, window, axis, sampler,
         )

@@ -352,6 +352,24 @@ def test_cli_device_sampling_flow():
         ])
 
 
+def test_cli_device_layerwise_flow():
+    """--device_sampling --samp_type fastgcn runs the layer-wise importance
+    sampler inside the scanned epoch (the reference's fastest algorithm,
+    MQFastGCN.py:60-88, on the framework's fastest path) and reaches normal
+    accuracy."""
+    from dgll_tpu import run as cli
+
+    out = cli.main([
+        "--dataset", "synthetic", "--n_node", "500", "--avg_degree", "8",
+        "--feat_dim", "16", "--n_class", "4", "--Model", "GCN",
+        "--n_epochs", "4", "--batch_size", "64", "--device_sampling",
+        "--samp_type", "fastgcn", "--n_samp", "48", "--n_layers", "2",
+    ])
+    t = out["trials"][0]
+    assert t["device_sampling"] is True
+    assert t["test_acc"] > 0.5
+
+
 def test_cli_dp_device_sampling():
     """--device_sampling composes with --n_gpus: every mesh device samples its
     sub-batch on device inside the scanned epoch (psum grads)."""
