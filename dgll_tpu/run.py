@@ -268,7 +268,6 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
             raise ValueError(
                 "--device_sampling keeps the graph and features HBM-resident; "
                 "it composes with neither --n_parts nor --cached_nPercent")
-        from dgll_tpu.dataloader import DataLoader
         from dgll_tpu.train import DeviceDPEpochRunner, micro_f1
 
         dgraph, sizes = _device_sampling_graph(cfg, g, log)
@@ -281,10 +280,9 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
         params0, resumed = _maybe_restore_params(cfg, state.params)
         if resumed is not None:
             state = state.replace(params=jax.tree.map(jnp.asarray, params0))
-        ev = MiniBatchTrainer(model, tx, seed=trial_seed)
-        val_loader = DataLoader(g, g.get_validation_nodes(), sampler,
-                                cfg.batch_size, shuffle=False,
-                                seed=trial_seed + 1)
+        # compiled eval sweep — no host DataLoader in the device-sampling flow
+        labels_np = np.asarray(g.labels)
+        val_nodes = g.get_validation_nodes()
         best_val, bad, n_epochs_run = -np.inf, 0, 0
         loss = np.inf
         for epoch in range(cfg.n_epochs):
@@ -293,7 +291,8 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
                 loss = float(loss)
             n_epochs_run += 1
             with timer.phase("validate"):
-                val = ev.evaluate_nodes(state, val_loader, feats_d, labels_d)
+                val = runner.evaluate_nodes(state, feats_d, labels_np,
+                                            val_nodes, seed=trial_seed + 1)
             if val > best_val:
                 best_val, bad = val, 0
             else:
@@ -302,10 +301,10 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
                      f"loss {loss:.4f} val {val:.4f}")
             if cfg.n_stops and bad >= cfg.n_stops:
                 break
-        test_loader = DataLoader(g, g.get_test_nodes(), sampler,
-                                 cfg.batch_size, shuffle=False,
-                                 seed=trial_seed + 2)
-        pred, y = ev.predict_nodes(state, test_loader, feats_d, labels_d)
+        test_nodes = np.asarray(g.get_test_nodes(), np.int64)
+        pred = runner.predict_nodes(state, feats_d, test_nodes,
+                                    seed=trial_seed + 2)
+        y = labels_np[test_nodes]
         return {
             "test_acc": float((pred == y).mean()) if len(pred) else 0.0,
             "micro_f1": micro_f1(pred, y),
@@ -570,10 +569,10 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
             if resumed is not None:
                 state = state.replace(params=jax.tree.map(jnp.asarray, p))
                 extra["resumed_from"] = resumed
-            ev = MiniBatchTrainer(model, tx, seed=trial_seed)
-            val_loader = DataLoader(g, g.get_validation_nodes(), sampler,
-                                    cfg.batch_size, shuffle=False,
-                                    seed=trial_seed + 1)
+            # validation/test ride the COMPILED eval sweep (one dispatch per
+            # set; no host DataLoader in any device-sampling flow)
+            labels_np = np.asarray(g.labels)
+            val_nodes = g.get_validation_nodes()
             best_val, bad, n_epochs_run = -np.inf, 0, 0
             loss = np.inf
             for epoch in range(cfg.n_epochs):
@@ -582,7 +581,8 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
                     loss = float(loss)
                 n_epochs_run += 1
                 with timer.phase("validate"):
-                    val = ev.evaluate_nodes(state, val_loader, feats, labels)
+                    val = runner.evaluate_nodes(state, feats, labels_np,
+                                                val_nodes, seed=trial_seed + 1)
                 if val > best_val:
                     best_val, bad = val, 0
                 else:
@@ -590,10 +590,10 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
                 log.info(f"[device] epoch {epoch} loss {loss:.4f} val {val:.4f}")
                 if cfg.n_stops and bad >= cfg.n_stops:
                     break
-            test_loader = DataLoader(g, g.get_test_nodes(), sampler,
-                                     cfg.batch_size, shuffle=False,
-                                     seed=trial_seed + 2)
-            pred, y = ev.predict_nodes(state, test_loader, feats, labels)
+            test_nodes = np.asarray(g.get_test_nodes(), np.int64)
+            pred = runner.predict_nodes(state, feats, test_nodes,
+                                        seed=trial_seed + 2)
+            y = labels_np[test_nodes]
             test_acc = float((pred == y).mean()) if len(pred) else 0.0
             f1 = micro_f1(pred, y)
             final_params = state.params

@@ -204,6 +204,49 @@ def make_device_dp_epoch_fn(
     return epoch
 
 
+def make_device_eval_fn(
+    apply_fn: Callable,
+    fanouts: Sequence[int],
+    batch_size: int,
+    n_batches: int,
+    feat_dtype=None,
+    window: bool = False,
+    sampler: str = "neighbor",
+):
+    """Compiled evaluation sweep: one scanned dispatch for a whole val/test set.
+
+    The reference folds validation into its pipeline but still walks the host
+    sampler every epoch (``buffer_queues.py:47-61``); at products scale a
+    host-sampled validation sweep can cost more than the device-resident train
+    epoch it follows. This is the missing half: ``evaluate(params, graph,
+    feats, seeds, seed_mask, key) -> (pred, valid)`` samples each batch ON
+    DEVICE (same sampler family as training, deterministic given ``key``),
+    applies the model with ``deterministic=True``, and returns per-seed argmax
+    predictions + validity — ONE dispatch and one [total]-sized D2H per sweep.
+    """
+    sample_fn = make_sample_fn(fanouts, window, sampler)
+    batch_size = int(batch_size)
+
+    @jax.jit
+    def evaluate(params, graph, feats, seeds, seed_mask, key):
+        def body(carry, i):
+            bs = jax.lax.dynamic_slice(seeds, (i * batch_size,), (batch_size,))
+            bm = jax.lax.dynamic_slice(seed_mask, (i * batch_size,), (batch_size,))
+            _, _, blocks = sample_fn(graph, bs, bm, jax.random.fold_in(key, i))
+            x = jnp.take(feats, blocks[0].src_ids, axis=0)
+            if feat_dtype is not None:
+                x = x.astype(feat_dtype)
+            logp = apply_fn({"params": params}, list(blocks), x,
+                            deterministic=True)
+            return carry, (jnp.argmax(logp, axis=-1).astype(jnp.int32),
+                           blocks[-1].dst_mask)
+
+        _, (pred, valid) = jax.lax.scan(body, 0, jnp.arange(n_batches))
+        return pred.reshape(-1), valid.reshape(-1)
+
+    return evaluate
+
+
 class DeviceEpochRunner:
     """Convenience driver around :func:`make_device_epoch_fn`.
 
@@ -251,6 +294,8 @@ class DeviceEpochRunner:
             window=window, sampler=sampler,
         )
         self._feat_dtype = feat_dtype
+        self._window = bool(window)
+        self._sampler = sampler
         self._sample_fn = make_sample_fn(self.fanouts, window, sampler)
 
     def init_state(self, feats) -> TrainState:
@@ -281,6 +326,44 @@ class DeviceEpochRunner:
             state, self.csr, feats, labels, self.seeds, self.seed_mask, k
         )
         return state, loss
+
+    # -- compiled evaluation (one dispatch per sweep) -----------------------
+    def _eval_fn(self, n_batches: int):
+        cache = getattr(self, "_eval_cache", None)
+        if cache is None:
+            cache = self._eval_cache = {}
+        if n_batches not in cache:
+            cache[n_batches] = make_device_eval_fn(
+                self.model.apply, self.fanouts, self.batch_size, n_batches,
+                feat_dtype=self._feat_dtype, window=self._window,
+                sampler=self._sampler)
+        return cache[n_batches]
+
+    def predict_nodes(self, state: TrainState, feats, nodes, seed: int = 0):
+        """Argmax predictions for ``nodes`` via the compiled scanned sweep.
+
+        Deterministic given ``seed``. Returns a [len(nodes)] int32 numpy array.
+        """
+        nodes = np.asarray(nodes, np.int64)
+        nb = max(1, -(-len(nodes) // self.batch_size))
+        total = nb * self.batch_size
+        seeds = np.zeros(total, np.int32)
+        seeds[: len(nodes)] = nodes
+        mask = np.zeros(total, bool)
+        mask[: len(nodes)] = True
+        pred, _ = self._eval_fn(nb)(
+            state.params, self.csr, feats, jnp.asarray(seeds),
+            jnp.asarray(mask), jax.random.key(seed))
+        return np.asarray(pred)[: len(nodes)]
+
+    def evaluate_nodes(self, state: TrainState, feats, labels_np, nodes,
+                       seed: int = 0) -> float:
+        """Accuracy over ``nodes`` (compiled sweep + host compare)."""
+        nodes = np.asarray(nodes, np.int64)
+        if len(nodes) == 0:
+            return 0.0
+        pred = self.predict_nodes(state, feats, nodes, seed)
+        return float((pred == np.asarray(labels_np)[nodes]).mean())
 
 
 class DeviceDPEpochRunner(DeviceEpochRunner):

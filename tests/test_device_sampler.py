@@ -296,3 +296,68 @@ class TestDeviceDPEpochRunner:
             state, loss = runner.run_epoch(state, feats, labels)
         assert float(loss) < float(loss0)
         assert float(loss) < 0.35
+
+
+class TestCompiledEval:
+    """Compiled evaluation sweep (make_device_eval_fn): the val/test half of the
+    device-resident pipeline — one scanned dispatch per node set, no host
+    DataLoader (ref folds validation into its pipeline at buffer_queues.py:47-61
+    but still samples on the host)."""
+
+    def _setup(self):
+        from dgll_tpu.data import synthetic_classification_graph
+
+        g = synthetic_classification_graph(n_node=300, avg_degree=8, feat_dim=16,
+                                           n_class=4, seed=7, homophily=0.95)
+        csr = DeviceCSR.from_graph(g)
+        model = GraphSAGE(hidden=16, n_class=4, dropout=0.0)
+        runner = DeviceEpochRunner(model, optax.adam(3e-2), csr, fanouts=[6, 4],
+                                   batch_size=32,
+                                   train_nodes=g.get_train_nodes(), seed=0)
+        return g, runner
+
+    def test_predictions_deterministic_and_shaped(self):
+        g, runner = self._setup()
+        feats = jnp.asarray(g.node_feat)
+        state = runner.init_state(feats)
+        nodes = np.arange(50)
+        p1 = runner.predict_nodes(state, feats, nodes, seed=3)
+        p2 = runner.predict_nodes(state, feats, nodes, seed=3)
+        assert p1.shape == (50,)
+        np.testing.assert_array_equal(p1, p2)  # same seed -> same sweep
+
+    def test_eval_tracks_training(self):
+        g, runner = self._setup()
+        feats = jnp.asarray(g.node_feat)
+        labels = jnp.asarray(g.labels)
+        labels_np = np.asarray(g.labels)
+        state = runner.init_state(feats)
+        val_nodes = g.get_validation_nodes()
+        acc0 = runner.evaluate_nodes(state, feats, labels_np, val_nodes)
+        for _ in range(8):
+            state, _ = runner.run_epoch(state, feats, labels)
+        acc1 = runner.evaluate_nodes(state, feats, labels_np, val_nodes)
+        assert acc1 > max(acc0, 0.5), (acc0, acc1)
+
+    def test_matches_host_eval_protocol(self):
+        """Compiled sweep accuracy ~ host-loader eval accuracy (same model,
+        both sample fixed fanouts; agreement within sampling noise)."""
+        from dgll_tpu.dataloader import DataLoader
+        from dgll_tpu.sampling import NeighborSampler
+        from dgll_tpu.train import MiniBatchTrainer
+
+        g, runner = self._setup()
+        feats = jnp.asarray(g.node_feat)
+        labels = jnp.asarray(g.labels)
+        labels_np = np.asarray(g.labels)
+        state = runner.init_state(feats)
+        for _ in range(8):
+            state, _ = runner.run_epoch(state, feats, labels)
+        nodes = np.asarray(g.get_test_nodes(), np.int64)
+        acc_dev = runner.evaluate_nodes(state, feats, labels_np, nodes)
+        ev = MiniBatchTrainer(runner.model, runner.optimizer, seed=0)
+        loader = DataLoader(g, nodes, NeighborSampler([6, 4], seed=1), 32,
+                            shuffle=False, seed=1)
+        pred, y = ev.predict_nodes(state, loader, feats, labels)
+        acc_host = float((pred == y).mean())
+        assert abs(acc_dev - acc_host) < 0.12, (acc_dev, acc_host)
