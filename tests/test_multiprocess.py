@@ -58,3 +58,38 @@ def test_two_process_dp_train_step_parity():
     m2 = re.search(r"MPDP_LOSS=([0-9.]+) procs=2 devices=4", out)
     assert m2, out
     assert abs(float(m1.group(1)) - float(m2.group(1))) < 1e-4, (m1.group(1), m2.group(1))
+
+
+@pytest.mark.slow
+def test_two_process_device_sampling_dp_epoch_parity():
+    """The DEVICE-SAMPLING DP epoch (sampling inside the scanned shard_map
+    program, make_device_dp_epoch_fn) across 2 real processes: the same global
+    4-device mesh must produce the same epoch loss as 1 proc x 4 devices
+    (VERDICT r3 #8; ref: the full per-process loop of MQGCN.py:114-157)."""
+    import re
+    import subprocess
+
+    child = os.path.join(os.path.dirname(__file__), "_mp_dp_device_child.py")
+
+    env1 = dict(os.environ)
+    env1.update({
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+    })
+    r1 = subprocess.run([sys.executable, child], env=env1, capture_output=True,
+                        text=True, timeout=240)
+    m1 = re.search(r"MPDPDEV_LOSS=([0-9.]+) procs=1 devices=4", r1.stdout)
+    assert m1, (r1.stdout, r1.stderr[-2000:])
+
+    env2 = {
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+    }
+    results = launch_local(2, [sys.executable, child], env=env2, timeout=240)
+    out = "".join(r.stdout for r in results)
+    m2 = re.search(r"MPDPDEV_LOSS=([0-9.]+) procs=2 devices=4", out)
+    assert m2, out
+    assert abs(float(m1.group(1)) - float(m2.group(1))) < 1e-4, (
+        m1.group(1), m2.group(1))
