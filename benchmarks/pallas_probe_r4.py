@@ -5,16 +5,16 @@ The r3 SpMM kernel is gather-bound: XLA's row gather runs at a flat ~4 ns/row
 committing to a fused design, measure every candidate primitive ON THE HARDWARE:
 
   P0  pallas streaming HBM->HBM copy          (achievable-bandwidth calibration)
-  P1  XLA take: f32 / bf16 / bf16-as-f32pairs (baseline + bf16-regression diagnosis)
+  P1  XLA take: f32 / bf16 / sorted           (baseline + bf16-regression diagnosis)
   P2  pallas dynamic VMEM row-read gather     (pass-1 candidate: window gather)
   P2b pallas one-hot MXU window gather        (pass-1 candidate: matmul gather)
   P3  pallas dynamic VMEM row accumulate      (pass-2 candidate: scatter into tile)
   P4  pallas per-row DMA gather from HBM      (VERDICT's prescribed design)
 
-Relay dispatch costs ~30 ms per call, so each variant runs K iterations inside
-ONE jitted fori_loop (while-loops are not hoisted by XLA) and the measured
-empty-dispatch overhead is subtracted. Timing: scalar D2H value read only
-(block_until_ready lies over the relay — repo memory); median of repeats.
+Relay rules (repo memory): one dispatch costs ~49 ms RTT and uploads run at
+~30 MB/s, so ALL data is generated on device, each probe is ONE jitted dispatch
+over E=4M rows (op time >> RTT), the big output stays on device (only a scalar
+is read back), and the measured empty-dispatch overhead is subtracted.
 """
 from __future__ import annotations
 
@@ -29,37 +29,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 N = 500_000          # source rows
 F = 128              # feature width
-E = 2_097_152        # gathered rows / edges per trial (2^21)
+E = 4_194_304        # gathered rows / edges per trial (2^22)
 EB = 512             # edges per chunk
 WIN = 256            # src window rows (pass-1 window gather)
 OUT_TILE = 8192      # pass-2 VMEM-resident output tile rows
-K = 10               # in-jit iterations per timing
-REPS = 5
+REPS = 8
 INTERPRET = False
 
 
 def timed(fn, *args):
     out = fn(*args)                      # compile + warm
-    _ = float(jnp.asarray(out).ravel()[0])
+    _ = float(out[-1])                   # scalar D2H only
     ts = []
     for _i in range(REPS):
         t0 = time.perf_counter()
         out = fn(*args)
-        _ = float(jnp.asarray(out).ravel()[0])
+        _ = float(out[-1])
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
-
-
-def loopK(call):
-    """Run call(i) K times inside one jit; depend on every output's [0,0]."""
-
-    def run():
-        def body(i, acc):
-            return acc + call(i)[0, 0].astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0)).reshape(1)
-
-    return jax.jit(run)
 
 
 # ---------------------------------------------------------------- P0: stream copy
@@ -70,7 +57,7 @@ def _copy_kernel(x_ref, o_ref):
 def p0_copy(x):
     m = x.shape[0]
     tb = 2048
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _copy_kernel,
         interpret=INTERPRET,
         grid=(m // tb,),
@@ -78,23 +65,26 @@ def p0_copy(x):
         out_specs=pl.BlockSpec((tb, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, F), x.dtype),
     )(x)
+    return out, out[0, 0]
 
 
 # ---------------------------------------------------- P2: dynamic VMEM row gather
 def _dynread_kernel(idx_ref, win_ref, o_ref):
     cm = pl.program_id(0) % 8
 
-    def body(e, _):
-        r = idx_ref[cm, e]
-        o_ref[pl.ds(e, 1), :] = win_ref[pl.ds(r, 1), :]
+    def body(i, _):
+        for u in range(8):           # manual 8-wide unroll (fori unroll=1 only)
+            e = i * 8 + u
+            r = idx_ref[cm, e]
+            o_ref[pl.ds(e, 1), :] = win_ref[pl.ds(r, 1), :]
         return 0
 
-    jax.lax.fori_loop(0, EB, body, 0, unroll=8)
+    jax.lax.fori_loop(0, EB // 8, body, 0)
 
 
 def p2_dynread(idx, win):
     nc = idx.shape[0]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _dynread_kernel,
         interpret=INTERPRET,
         grid=(nc,),
@@ -105,6 +95,7 @@ def p2_dynread(idx, win):
         out_specs=pl.BlockSpec((EB, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nc * EB, F), win.dtype),
     )(idx, win)
+    return out, out[0, 0]
 
 
 # ------------------------------------------------ P2b: one-hot MXU window gather
@@ -117,7 +108,7 @@ def _onehot_kernel(idxv_ref, win_ref, o_ref):
 
 def p2b_onehot(idxv, win):
     nc = idxv.shape[0] // EB
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _onehot_kernel,
         interpret=INTERPRET,
         grid=(nc,),
@@ -128,6 +119,7 @@ def p2b_onehot(idxv, win):
         out_specs=pl.BlockSpec((EB, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nc * EB, F), win.dtype),
     )(idxv, win)
+    return out, out[0, 0]
 
 
 # ---------------------------------------------------- P3: dynamic VMEM accumulate
@@ -140,12 +132,14 @@ def _dynacc_kernel(idx_ref, msg_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def body(e, _):
-        r = idx_ref[cm, e]
-        acc_ref[pl.ds(r, 1), :] += msg_ref[pl.ds(e, 1), :].astype(jnp.float32)
+    def body(i, _):
+        for u in range(8):           # manual 8-wide unroll (fori unroll=1 only)
+            e = i * 8 + u
+            r = idx_ref[cm, e]
+            acc_ref[pl.ds(r, 1), :] += msg_ref[pl.ds(e, 1), :].astype(jnp.float32)
         return 0
 
-    jax.lax.fori_loop(0, EB, body, 0, unroll=8)
+    jax.lax.fori_loop(0, EB // 8, body, 0)
 
     @pl.when(c == nc - 1)
     def _():
@@ -154,7 +148,7 @@ def _dynacc_kernel(idx_ref, msg_ref, o_ref, acc_ref):
 
 def p3_dynacc(idx, msg):
     nc = idx.shape[0]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _dynacc_kernel,
         interpret=INTERPRET,
         grid=(nc,),
@@ -167,6 +161,7 @@ def p3_dynacc(idx, msg):
         out_shape=jax.ShapeDtypeStruct((OUT_TILE, F), msg.dtype),
         scratch_shapes=[pltpu.VMEM((OUT_TILE, F), jnp.float32)],
     )(idx, msg)
+    return out, out[0, 0]
 
 
 # ---------------------------------------------------- P4: per-row DMA gather (HBM)
@@ -201,7 +196,7 @@ def _dma_kernel(idx_ref, x_hbm, o_ref, msg_ref, sems):
 
 def p4_dma(idx, x):
     nc = idx.shape[0]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _dma_kernel,
         interpret=INTERPRET,
         grid=(nc,),
@@ -217,72 +212,82 @@ def p4_dma(idx, x):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(idx, x)
+    return out, out[0, 0]
 
 
 def main():
-    global INTERPRET, N, E, REPS, K
+    global INTERPRET, N, E, REPS
     INTERPRET = jax.default_backend() != "tpu"
     if INTERPRET:
-        N, E, REPS, K = 4096, 8192, 1, 2
-    rng = np.random.default_rng(0)
-    x32 = jnp.asarray(rng.standard_normal((N, F), dtype=np.float32))
-    x16 = x32.astype(jnp.bfloat16)
-    idx_flat = jnp.asarray(rng.integers(0, N, E).astype(np.int32))
-    idx_sorted = jnp.sort(idx_flat)
+        N, E, REPS = 4096, 8192, 1
     nc = E // EB
-    ncm = ((nc + 7) // 8) * 8  # SMEM metadata rows padded to the sublane tile
-    idx_chunk = jnp.asarray(rng.integers(0, WIN, (ncm, EB)).astype(np.int32))
-    idx_out = jnp.asarray(rng.integers(0, OUT_TILE, (ncm, EB)).astype(np.int32))
-    idx_hbm = jnp.asarray(rng.integers(0, N, (ncm, EB)).astype(np.int32))
-    win = x32[:WIN]
-    msg = jnp.asarray(rng.standard_normal((nc * EB, F), dtype=np.float32))
 
-    res = {"device": str(jax.devices()[0]), "N": N, "F": F, "E": E, "EB": EB,
-           "K": K}
+    # ---- all data generated ON DEVICE (relay upload is ~30 MB/s; avoid it)
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 6)
+        x32 = jax.random.normal(ks[0], (N, F), jnp.float32)
+        idx_flat = jax.random.randint(ks[1], (E,), 0, N, jnp.int32)
+        idx_chunk = jax.random.randint(ks[2], (nc, EB), 0, WIN, jnp.int32)
+        idx_out = jax.random.randint(ks[3], (nc, EB), 0, OUT_TILE, jnp.int32)
+        idx_hbm = jax.random.randint(ks[4], (nc, EB), 0, N, jnp.int32)
+        msg = jax.random.normal(ks[5], (nc * EB, F), jnp.float32)
+        return (x32, x32.astype(jnp.bfloat16), idx_flat, jnp.sort(idx_flat),
+                idx_chunk, idx_out, idx_hbm, msg)
+
+    x32, x16, idx_flat, idx_sorted, idx_chunk, idx_out, idx_hbm, msg = gen(
+        jax.random.key(0))
+    win = x32[:WIN]
+
+    res = {"device": str(jax.devices()[0]), "N": N, "F": F, "E": E, "EB": EB}
 
     if INTERPRET:
-        got = np.asarray(p2_dynread(idx_chunk[:nc], win))
-        want = np.asarray(win)[np.asarray(idx_chunk[:nc]).reshape(-1)]
-        np.testing.assert_allclose(got, want, err_msg="p2_dynread")
-        got = np.asarray(p2b_onehot(idx_chunk[:nc].reshape(-1, 1), win))
-        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg="p2b_onehot")
-        got = np.asarray(p3_dynacc(idx_out[:nc], msg))
+        got, _ = p2_dynread(idx_chunk, win)
+        want = np.asarray(win)[np.asarray(idx_chunk).reshape(-1)]
+        np.testing.assert_allclose(np.asarray(got), want, err_msg="p2_dynread")
+        got, _ = p2b_onehot(idx_chunk.reshape(-1, 1), win)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   err_msg="p2b_onehot")
+        got, _ = p3_dynacc(idx_out, msg)
         want2 = np.zeros((OUT_TILE, F), np.float32)
-        np.add.at(want2, np.asarray(idx_out[:nc]).reshape(-1), np.asarray(msg))
-        np.testing.assert_allclose(got, want2, rtol=1e-4, err_msg="p3_dynacc")
-        got = np.asarray(p4_dma(idx_hbm[:nc], x32))
+        np.add.at(want2, np.asarray(idx_out).reshape(-1), np.asarray(msg))
+        np.testing.assert_allclose(np.asarray(got), want2, rtol=1e-4,
+                                   err_msg="p3_dynacc")
+        got, _ = p4_dma(idx_hbm, x32)
         np.testing.assert_allclose(
-            got, np.asarray(x32)[np.asarray(idx_hbm[:nc]).reshape(-1)],
+            np.asarray(got), np.asarray(x32)[np.asarray(idx_hbm).reshape(-1)],
             err_msg="p4_dma")
         print("interpret-mode correctness OK")
 
-    # fixed dispatch overhead of one loopK-style call
-    t_over = timed(loopK(lambda i: x32[:8, :8] + jnp.float32(i)))
+    # empty-dispatch overhead: jitted slice + scalar D2H
+    @jax.jit
+    def trivial(a):
+        return a[:8, :8], a[0, 0]
+
+    t_over = timed(trivial, x32)
     res["dispatch_overhead_ms"] = round(t_over * 1e3, 3)
 
     def rate(name, t, rows, bytes_per_row):
-        per = max((t - t_over) / K, 1e-9)
+        per = max(t - t_over, 1e-9)
         res[name] = {"ms": round(per * 1e3, 3),
                      "ns_per_row": round(per / rows * 1e9, 3),
                      "gbps": round(rows * bytes_per_row / per / 1e9, 1)}
 
-    big = jnp.asarray(rng.standard_normal((E, F), dtype=np.float32))
+    take = jax.jit(lambda x, i: ((o := jnp.take(x, i, axis=0)), o[0, 0]))
     probes = [
-        ("p0_stream_copy", lambda i: p0_copy(big), E, 2 * F * 4),
-        ("p1_take_f32", lambda i: jnp.take(x32, idx_flat ^ (i & 0x0), axis=0),
-         E, F * 4),
-        ("p1_take_bf16", lambda i: jnp.take(x16, idx_flat, axis=0), E, F * 2),
-        ("p1_take_f32_sorted", lambda i: jnp.take(x32, idx_sorted, axis=0),
-         E, F * 4),
-        ("p2_dynread", lambda i: p2_dynread(idx_chunk, win), E, F * 4),
-        ("p2b_onehot", lambda i: p2b_onehot(idx_chunk[:nc].reshape(-1, 1), win),
-         E, F * 4),
-        ("p3_dynacc", lambda i: p3_dynacc(idx_out, msg), E, F * 4),
-        ("p4_row_dma", lambda i: p4_dma(idx_hbm, x32), E, F * 4),
+        ("p0_stream_copy", jax.jit(p0_copy), (msg,), E, 2 * F * 4),
+        ("p1_take_f32", take, (x32, idx_flat), E, F * 4),
+        ("p1_take_bf16", take, (x16, idx_flat), E, F * 2),
+        ("p1_take_f32_sorted", take, (x32, idx_sorted), E, F * 4),
+        ("p2_dynread", jax.jit(p2_dynread), (idx_chunk, win), E, F * 4),
+        ("p2b_onehot", jax.jit(p2b_onehot),
+         (idx_chunk.reshape(-1, 1), win), E, F * 4),
+        ("p3_dynacc", jax.jit(p3_dynacc), (idx_out, msg), E, F * 4),
+        ("p4_row_dma", jax.jit(p4_dma), (idx_hbm, x32), E, F * 4),
     ]
-    for name, call, rows, bpr in probes:
+    for name, fn, args, rows, bpr in probes:
         try:
-            t = timed(loopK(call))
+            t = timed(fn, *args)
             rate(name, t, rows, bpr)
         except Exception as ex:  # pragma: no cover - probe robustness
             res[name] = {"error": f"{type(ex).__name__}: {str(ex)[:300]}"}
