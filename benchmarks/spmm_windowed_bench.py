@@ -1,0 +1,158 @@
+"""Round-4 SpMM hardware A/B: window-fused kernel vs r3 gather kernel vs XLA.
+
+Produces ``benchmarks/results/spmm_tpu_r4.json``. Two graphs at r3 scale
+(500k nodes, 8M edges, F=128):
+
+* ``clustered`` — SBM (communities of 2048, 90 % intra): the structure the
+  reference's real benchmark graphs (products/reddit) and its own COG
+  preprocessing produce. The windowed kernel's design point.
+* ``random``    — r3's power-law-dst/uniform-src graph: the adversarial case.
+  The probe (pallas_probe_r4.json) shows the row-gather there is issue-bound;
+  the hybrid builder routes most edges residual and the classic path rules.
+
+Metrics per row: ms (dependent-chain slope, relay-safe), Medges/s,
+``roofline_fraction`` (r2/r3-continuity: 3x E_pad*F traffic basis at 819 GB/s),
+``min_bytes_fraction`` (fundamental: one read of E_pad source rows + one output
+write), and vs_* speedups. ``fwd_bwd`` rows time the custom-VJP train-through.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from timing import chain_time  # noqa: E402
+
+HBM_GBPS = 819.0
+
+
+def graphs(n, e, rng):
+    out = {}
+    csize, intra = 2048, 0.9
+    dst = rng.integers(0, n, e)
+    comm = dst // csize
+    loc = rng.random(e) < intra
+    src = np.where(loc, comm * csize + rng.integers(0, csize, e),
+                   rng.integers(0, n, e))
+    out["clustered"] = (src.astype(np.int64), dst.astype(np.int64))
+
+    w = (np.arange(n, dtype=np.float64) + 1.0) ** -1.0
+    cdf = np.cumsum(w); cdf /= cdf[-1]
+    dst2 = np.sort(np.searchsorted(cdf, rng.random(e)).astype(np.int64))
+    src2 = rng.integers(0, n, e).astype(np.int64)
+    out["random"] = (src2, dst2)
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dgll_tpu.ops import spmm_coo
+    from dgll_tpu.ops.chunked import build_chunked_pair, chunked_to_device
+    from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked
+    from dgll_tpu.ops.pallas.spmm_windowed import spmm_hybrid
+    from dgll_tpu.ops.windowed import build_hybrid_pair, hybrid_to_device
+
+    n_node = int(os.environ.get("SB_NODES", 500_000))
+    avg_deg = int(os.environ.get("SB_DEG", 16))
+    feat_dim = int(os.environ.get("SB_DIM", 128))
+    out_path = os.environ.get(
+        "SB_OUT", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "results", "spmm_tpu_r4.json"))
+    n_edge = n_node * avg_deg
+    rng = np.random.default_rng(0)
+
+    results = {"device": str(jax.devices()[0]), "n_node": n_node,
+               "n_edge": n_edge, "feat_dim": feat_dim, "hbm_gbps_ref": HBM_GBPS,
+               "graphs": {}}
+
+    x0 = jnp.asarray(rng.standard_normal((n_node, feat_dim), dtype=np.float32))
+
+    for gname, (src, dst) in graphs(n_node, n_edge, rng).items():
+        ew = rng.random(n_edge).astype(np.float32)
+        g = {}
+
+        srcd, dstd, ewd = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(ew)
+        f_seg = jax.jit(lambda x: spmm_coo(srcd, dstd, x, n_node, ewd) * 0.5)
+        dt = chain_time(f_seg, x0)
+        g["xla_segment_sum"] = {"ms": round(dt * 1e3, 2),
+                                "medges_per_s": round(n_edge / dt / 1e6, 1)}
+        print(f"[{gname}] segment_sum {dt*1e3:.2f} ms", flush=True)
+        del srcd, dstd, ewd
+
+        # r3 classic gather kernel (the incumbent)
+        c, ct = build_chunked_pair(src, dst, n_node, n_node, ew, eb=512)
+        c, ct = chunked_to_device(c), chunked_to_device(ct)
+        e_pad_c = c.n_chunk * c.eb
+        f_classic = jax.jit(
+            lambda x: spmm_chunked(c, ct, x, interpret=c.interpret)[:n_node] * 0.5)
+        dt_c = chain_time(f_classic, x0)
+        g["classic_pallas_f32"] = _row(dt_c, n_edge, e_pad_c, feat_dim, 4,
+                                       n_node, dt)
+        print(f"[{gname}] classic {dt_c*1e3:.2f} ms", flush=True)
+
+        # round-4 window-fused hybrid
+        h, ht = build_hybrid_pair(src, dst, n_node, n_node, ew)
+        h, ht = hybrid_to_device(h), hybrid_to_device(ht)
+        slots = h.win.n_chunk * h.win.eb
+        if h.res is not None:
+            slots += h.res.n_chunk * h.res.eb
+        for tag, mdt, isz in (("f32", None, 4), ("bf16", jnp.bfloat16, 2)):
+            f_hyb = jax.jit(functools_partial_spmm(spmm_hybrid, h, ht, mdt,
+                                                   n_node))
+            dt_h = chain_time(f_hyb, x0)
+            row = _row(dt_h, n_edge, e_pad_c, feat_dim, isz, n_node, dt)
+            row["windowed_fraction"] = round(h.windowed_fraction, 3)
+            row["slots_per_edge"] = round(slots / n_edge, 2)
+            row["vs_classic"] = round(dt_c / dt_h, 2)
+            g[f"hybrid_windowed_{tag}"] = row
+            print(f"[{gname}] hybrid_{tag} {dt_h*1e3:.2f} ms "
+                  f"(x{dt_c/dt_h:.2f} vs classic)", flush=True)
+
+        # trained-through: fwd + custom-VJP backward in one chained step
+        t_target = jnp.asarray(
+            rng.standard_normal((h.win.n_rows, feat_dim), dtype=np.float32))
+
+        def fb(x, _h=h, _ht=ht):
+            def lo(x_):
+                o = spmm_hybrid(_h, _ht, x_, activation="relu")
+                return jnp.vdot(o, t_target)
+            return jax.grad(lo)(x) * 1e-3 + x * 0.5
+
+        dt_fb = chain_time(jax.jit(fb), x0)
+        g["hybrid_fwd_bwd_f32"] = {"ms": round(dt_fb * 1e3, 2),
+                                   "medges_per_s_2pass":
+                                       round(2 * n_edge / dt_fb / 1e6, 1)}
+        print(f"[{gname}] fwd+bwd {dt_fb*1e3:.2f} ms", flush=True)
+
+        results["graphs"][gname] = g
+
+    print(json.dumps(results, indent=1))
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out_path)
+
+
+def functools_partial_spmm(fn, h, ht, mdt, n_node):
+    def f(x):
+        return fn(h, ht, x, msg_dtype=mdt)[:n_node] * 0.5
+    return f
+
+
+def _row(dt, n_edge, e_pad, feat_dim, itemsize, n_node, dt_seg):
+    bytes_impl = e_pad * feat_dim * 3 * itemsize + n_node * feat_dim * 4
+    bytes_min = e_pad * feat_dim * itemsize + n_node * feat_dim * 4
+    return {
+        "ms": round(dt * 1e3, 2),
+        "medges_per_s": round(n_edge / dt / 1e6, 1),
+        "roofline_fraction": round(bytes_impl / dt / 1e9 / HBM_GBPS, 3),
+        "min_bytes_fraction": round(bytes_min / dt / 1e9 / HBM_GBPS, 3),
+        "vs_segment_sum": round(dt_seg / dt, 2),
+    }
+
+
+if __name__ == "__main__":
+    main()

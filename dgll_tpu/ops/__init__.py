@@ -25,3 +25,12 @@ __all__ = [
     "sddmm_coo",
     "fused_gcn_layer",
 ]
+from dgll_tpu.ops.windowed import (
+    HybridCSR,
+    WindowedCSR,
+    build_hybrid,
+    build_hybrid_pair,
+    build_windowed,
+    hybrid_to_device,
+    spmm_windowed_xla,
+)
