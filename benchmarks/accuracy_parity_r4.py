@@ -32,10 +32,15 @@ N_FEAT = 1433
 N_EDGE = 5278
 HOMOPHILY = 0.81
 WORDS_PER_CLASS = 120
-P_TOPIC = 0.028      # on-probability of a class's topic words
-P_BACKGROUND = 0.014  # everything else
-# (calibrated so a 2-layer GCN lands near the reference's published cora
-#  accuracy — the signal-to-noise knob standing in for real cora text)
+# Two feature-signal profiles (P_TOPIC, P_BACKGROUND):
+#  - strong: sharp class topics (every model clears the reference targets)
+#  - calibrated: signal tuned so a 2-layer GCN lands AT the reference's
+#    published cora number; in this low-lift regime mean-neighbor SAGE
+#    degrades faster than GCN (a property of 2x word-lift features, not of
+#    the layers — see the strong profile)
+PROFILES = {"strong": (0.10, 0.006), "gcn_calibrated": (0.028, 0.014)}
+P_TOPIC = 0.028
+P_BACKGROUND = 0.014
 
 REF_TARGETS = {  # examples/{gcn,graphsage,gat}/README.md accuracy claims (cora)
     "GCN": 0.810,
@@ -44,7 +49,10 @@ REF_TARGETS = {  # examples/{gcn,graphsage,gat}/README.md accuracy claims (cora)
 }
 
 
-def emit_cora_like(path: str, name: str = "cora", seed: int = 0) -> None:
+def emit_cora_like(path: str, name: str = "cora", seed: int = 0,
+                   p_topic: float = None, p_background: float = None) -> None:
+    p_topic = P_TOPIC if p_topic is None else p_topic
+    p_background = P_BACKGROUND if p_background is None else p_background
     rng = np.random.default_rng(seed)
     n = sum(CLASS_SIZES)
     labels = np.repeat(np.arange(7), CLASS_SIZES)
@@ -52,11 +60,11 @@ def emit_cora_like(path: str, name: str = "cora", seed: int = 0) -> None:
 
     # class-conditional sparse binary bag-of-words
     topics = [rng.choice(N_FEAT, WORDS_PER_CLASS, replace=False) for _ in range(7)]
-    feats = (rng.random((n, N_FEAT)) < P_BACKGROUND)
+    feats = (rng.random((n, N_FEAT)) < p_background)
     for c in range(7):
         rows = np.nonzero(labels == c)[0]
         feats[np.ix_(rows, topics[c])] |= (
-            rng.random((len(rows), WORDS_PER_CLASS)) < P_TOPIC)
+            rng.random((len(rows), WORDS_PER_CLASS)) < p_topic)
     feats = feats.astype(np.int8)
 
     # homophilous citation edges
@@ -93,9 +101,11 @@ def main():
                       f"{N_EDGE} edges, homophily {HOMOPHILY})",
            "note": "reference data blobs missing + zero egress; this is format-"
                    "and-statistics parity, not the real cora",
-           "models": {}}
-    with tempfile.TemporaryDirectory() as td:
-        emit_cora_like(td, "cora", seed=0)
+           "profiles": {}}
+    for pname, (pt, pb) in PROFILES.items():
+      out["profiles"][pname] = {"p_topic": pt, "p_background": pb, "models": {}}
+      with tempfile.TemporaryDirectory() as td:
+        emit_cora_like(td, "cora", seed=0, p_topic=pt, p_background=pb)
         for model in ["GCN", "SAGE", "GAT"]:
             args = [
                 "--dataset", os.path.join(td, "cora"), "--Model", model,
@@ -108,13 +118,14 @@ def main():
                 args += ["--n_heads", "8", "--nhid", "8"]
             r = cli.main(args)
             accs = [t["test_acc"] for t in r["trials"]]
-            out["models"][model] = {
+            out["profiles"][pname]["models"][model] = {
                 "test_acc_mean": round(float(np.mean(accs)), 4),
                 "test_acc_std": round(float(np.std(accs)), 4),
                 "epochs": [t["epochs"] for t in r["trials"]],
                 "ref_cora_target": REF_TARGETS[model],
             }
-            print(model, "->", out["models"][model], flush=True)
+            print(pname, model, "->", out["profiles"][pname]["models"][model],
+                  flush=True)
 
     print(json.dumps(out, indent=1))
     dest = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results",
