@@ -226,6 +226,32 @@ def main():
             "vs_dgll_products_batch": round(6.12 / host_ms, 2),
         }
 
+        # grouped dispatch: G batches scanned per launch — the RTT amortiser
+        # (the reference hides producer latency with CUDA streams + queues,
+        # buffer_queues.py:22-119; the relay-attached-TPU equivalent is fewer,
+        # bigger launches)
+        G = int(os.environ.get("BENCH_GROUP", 8))
+        hstate, _, _ = tr.run_epoch_packed(
+            hstate, DataLoader(hg, train_nodes[: 2 * G * batch], sampler, batch,
+                               seed=2, packed=True),
+            feats, labels, fanouts, group=G)
+
+        def host_epoch_grouped():
+            nonlocal hstate
+            hstate, l, _ = tr.run_epoch_packed(hstate, loader, feats, labels,
+                                               fanouts, group=G)
+            return l
+
+        hostg_s, _ = timed_epochs(host_epoch_grouped)
+        hostg_ms = hostg_s / len(loader) * 1e3
+        detail["host_pipeline_packed_grouped"] = {
+            "group": G,
+            "epoch_s": round(hostg_s, 3), "n_batches": len(loader),
+            "batch_ms_incl_sampling": round(hostg_ms, 3),
+            "vs_dgll_products_batch": round(6.12 / hostg_ms, 2),
+            "vs_ungrouped": round(host_ms / hostg_ms, 2),
+        }
+
     results = {
         "metric": "products_scale_epoch",
         "value": round(dev_s, 2),

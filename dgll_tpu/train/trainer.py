@@ -141,6 +141,54 @@ def make_packed_block_step(fanouts, loss_fn=masked_nll_loss):
     return step
 
 
+def make_packed_group_step(fanouts, loss_fn=masked_nll_loss):
+    """G packed train steps in ONE dispatch: ``(ids [G, n], mask [G, n])``
+    scanned inside the program — 2 H2D transfers and 1 dispatch per G batches.
+
+    This is what actually hides the per-batch round-trip on relay/remote-attached
+    chips (measured ~12 ms/dispatch overhead): the reference hides its producer
+    latency with CUDA streams + queues (``buffer_queues.py:22-119``); the XLA
+    form is to amortise the launch over a scanned group. Ragged tails are padded
+    with all-zero-mask batches — those contribute zero loss and their optimizer
+    update is suppressed entirely (state passes through unchanged), so results
+    are bit-identical to ungrouped stepping with the same dropout keys.
+    """
+    fanouts = [int(f) for f in fanouts]
+
+    @jax.jit
+    def steps(state: TrainState, ids_g, mask_g, feats, labels, dropout_rng):
+        def body(carry, batch):
+            st, key = carry
+            ids, mask = batch
+            key, drng = jax.random.split(key)
+            blocks = blocks_from_packed(ids, mask, fanouts)
+            x = jnp.take(feats, blocks[0].src_ids, axis=0)
+            y = jnp.take(labels, blocks[-1].dst_ids, axis=0)
+
+            def loss_of(params):
+                logp = st.apply_fn(
+                    {"params": params}, blocks, x, deterministic=False,
+                    rngs={"dropout": drng},
+                )
+                return loss_fn(logp, y, blocks[-1].dst_mask)
+
+            loss, grads = jax.value_and_grad(loss_of)(st.params)
+            valid = jnp.any(mask)
+            st2 = st.apply_gradients(grads=grads)
+            # padding batches must not touch the state (adam moves on zero
+            # grads otherwise)
+            st2 = jax.tree.map(lambda a, b: jnp.where(valid, a, b), st2, st)
+            return (st2, key), (jnp.where(valid, loss, 0.0),
+                                valid.astype(jnp.float32))
+
+        (state2, _), (losses, valids) = jax.lax.scan(
+            body, (state, dropout_rng), (ids_g, mask_g)
+        )
+        return state2, losses.sum(), valids.sum()
+
+    return steps
+
+
 def make_scanned_block_step(loss_fn=masked_nll_loss):
     """K training steps in ONE dispatch: batches stacked on a leading axis and
     consumed by ``lax.scan`` (blocks share static shapes, so this compiles once).
@@ -342,20 +390,57 @@ class MiniBatchTrainer:
         return state, total / max(nb, 1), time.perf_counter() - t0
 
     def run_epoch_packed(self, state: TrainState, loader, features, labels,
-                         fanouts) -> tuple:
+                         fanouts, group: int = 1) -> tuple:
         """One epoch over a ``packed=True`` loader: each batch is just
         ``(ids, mask)``; blocks are rebuilt and features gathered inside the
         jitted step (2 H2D transfers + 1 dispatch per batch — the
-        transfer-minimal host pipeline for relay-attached chips)."""
+        transfer-minimal host pipeline for relay-attached chips).
+
+        ``group > 1`` scans ``group`` batches per dispatch
+        (:func:`make_packed_group_step`), dividing the fixed dispatch/RTT cost
+        by the group size; the tail group is padded with zero-mask batches
+        whose updates are suppressed, so training math is unchanged.
+        """
         features, labels = jax.tree.map(jnp.asarray, (features, labels))
         if not hasattr(self, "_packed_steps"):
             self._packed_steps = {}
-        key = tuple(int(f) for f in fanouts)
+        key = (tuple(int(f) for f in fanouts), int(group))
         if key not in self._packed_steps:
-            self._packed_steps[key] = make_packed_block_step(key, self.loss_fn)
+            self._packed_steps[key] = (
+                make_packed_group_step(key[0], self.loss_fn) if group > 1
+                else make_packed_block_step(key[0], self.loss_fn))
         step = self._packed_steps[key]
         total, nb = None, 0
         t0 = time.perf_counter()
+        if group > 1:
+            buf = []
+
+            def flush(state, total, nb):
+                ids_g = np.stack([b[0] for b in buf])
+                mask_g = np.stack([b[1] for b in buf])
+                self.rng, drng = jax.random.split(self.rng)
+                state, lsum, nvalid = step(state, jnp.asarray(ids_g),
+                                           jnp.asarray(mask_g), features,
+                                           labels, drng)
+                # accumulate on DEVICE — a float() here would sync every group
+                # and re-serialize the dispatch pipeline
+                total = lsum if total is None else total + lsum
+                nb = nvalid if nb is None or nb == 0 else nb + nvalid
+                return state, total, nb
+
+            for ids, mask in loader:
+                buf.append((np.asarray(ids), np.asarray(mask)))
+                if len(buf) == group:
+                    state, total, nb = flush(state, total, nb)
+                    buf = []
+            if buf:
+                pad = group - len(buf)
+                z = (np.zeros_like(buf[0][0]), np.zeros_like(buf[0][1]))
+                buf.extend([z] * pad)
+                state, total, nb = flush(state, total, nb)
+            total = float(total) if total is not None else 0.0
+            nb = float(nb) if nb is not None else 0.0
+            return state, total / max(nb, 1.0), time.perf_counter() - t0
         for ids, mask in loader:
             self.rng, drng = jax.random.split(self.rng)
             state, loss = step(state, jnp.asarray(ids), jnp.asarray(mask),

@@ -128,3 +128,53 @@ class TestPackedPipeline:
                 state, loader, g.node_feat, g.labels, fanouts)
             losses.append(loss)
         assert losses[-1] < losses[0]
+
+
+class TestGroupedPackedEpoch:
+    """Grouped dispatch (run_epoch_packed(group=G)): G batches scanned per
+    dispatch to amortise the per-batch round trip; must train identically to
+    ungrouped stepping (dropout 0), including zero-mask tail padding."""
+
+    def _train(self, group, n_epochs=4):
+        import optax
+        from dgll_tpu.data import synthetic_classification_graph
+        from dgll_tpu.dataloader import DataLoader
+        from dgll_tpu.nn import GraphSAGE
+        from dgll_tpu.sampling import HostGraph, NeighborSampler
+        from dgll_tpu.train import MiniBatchTrainer
+
+        g = synthetic_classification_graph(n_node=300, avg_degree=6, feat_dim=12,
+                                           n_class=4, seed=11)
+        hg = HostGraph.from_graph(g)
+        fanouts = [4, 3]
+        sampler = NeighborSampler(fanouts, seed=0)
+        # 300*0.1=30 train nodes, batch 8 -> 4 batches: group=3 forces a padded
+        # tail (4 = 3 + 1-plus-2-padding)
+        seeds = g.get_train_nodes()
+        model = GraphSAGE(hidden=8, n_class=4, dropout=0.0)
+        tr = MiniBatchTrainer(model, optax.adam(1e-2), seed=5)
+        _, _, b0 = sampler.sample(hg, seeds[:8], pad_to=8)
+        x0 = jnp.take(jnp.asarray(g.node_feat), jnp.asarray(b0[0].src_ids), axis=0)
+        state = tr.init_state(b0, x0)
+        losses = []
+        for ep in range(n_epochs):
+            loader = DataLoader(hg, seeds, sampler, 8, packed=True, seed=7,
+                                shuffle=False)
+            state, loss, _ = tr.run_epoch_packed(
+                state, loader, g.node_feat, g.labels, fanouts, group=group)
+            losses.append(loss)
+        return losses, state
+
+    def test_grouped_matches_ungrouped(self):
+        import jax
+
+        l1, s1 = self._train(group=1)
+        l3, s3 = self._train(group=3)  # padded tail exercised
+        np.testing.assert_allclose(l1, l3, rtol=2e-5)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+            s1.params, s3.params)
+
+    def test_grouped_learns(self):
+        losses, _ = self._train(group=4, n_epochs=6)
+        assert losses[-1] < losses[0]
