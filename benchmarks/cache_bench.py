@@ -95,6 +95,33 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best / n_batches * 1e3  # ms per batch
 
+    def epoch_time_overlapped(fetch, reps=3):
+        """One-batch-ahead fetch prefetch (the run_epoch pipeline): the host
+        gather + H2D of batch k+1 overlaps the device step of batch k —
+        the TPU form of the reference cache's non_blocking H2D
+        (storage.py:151-198)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        state = state0
+        b = pool[0]
+        y = jnp.take(labels, b[-1].dst_ids, axis=0)
+        state, loss = tr.step(state, b, fetch(b[0].src_ids), y, b[-1].dst_mask, key)
+        jax.block_until_ready(loss)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(1) as ex:
+                fut = ex.submit(fetch, pool[0][0].src_ids)
+                for i, b in enumerate(pool):
+                    x = fut.result()
+                    if i + 1 < len(pool):
+                        fut = ex.submit(fetch, pool[i + 1][0].src_ids)
+                    y = jnp.take(labels, b[-1].dst_ids, axis=0)
+                    state, loss = tr.step(state, b, x, y, b[-1].dst_mask, key)
+            float(loss)
+            best = min(best, time.perf_counter() - t0)
+        return best / n_batches * 1e3
+
     results = {"device": str(jax.devices()[0]), "n_node": n_node,
                "feat_dim": feat_dim, "batch": batch, "fanouts": fanouts}
 
@@ -117,12 +144,18 @@ def main():
             cache.reset_counters()
             ms = epoch_time(lambda ids: cache.fetch(np.asarray(ids)))
             rate, lookups, misses = cache.miss_rate()
-            results[f"{access}_cache_{int(frac*100)}pct"] = {
+            row = {
                 "ms_per_batch": round(ms, 3),
                 "miss_rate": round(rate, 4),
                 "lookups": int(lookups),
             }
+            if 0 < frac < 1:
+                row["ms_per_batch_overlapped"] = round(
+                    epoch_time_overlapped(
+                        lambda ids: cache.fetch(np.asarray(ids))), 3)
+            results[f"{access}_cache_{int(frac*100)}pct"] = row
             print(f"{access} cache {frac:4.0%}: {ms:8.2f} ms/batch  "
+                  f"overlap={row.get('ms_per_batch_overlapped', '-')}  "
                   f"miss={rate:.2%}", flush=True)
 
     print(json.dumps(results))

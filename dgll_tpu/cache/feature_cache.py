@@ -125,8 +125,15 @@ class HBMFeatureCache:
             out = jnp.take(self.cache, pos_dev, axis=0)
         if n_miss:
             miss_idx = np.nonzero(~hit)[0]
-            miss_feats = jnp.asarray(self.host[node_ids[miss_idx]])
-            out = out.at[jnp.asarray(miss_idx, jnp.int32)].set(miss_feats)
+            # Ship each missed row ONCE: sampled frontiers repeat hot nodes, so
+            # deduplicating before the host gather + H2D cuts the miss payload
+            # (the expensive hop on relay-attached chips; the reference ships
+            # the raw id list, storage.py:151-198) — duplicates are re-expanded
+            # by a device-side gather of the small unique block.
+            uniq, inv = np.unique(node_ids[miss_idx], return_inverse=True)
+            miss_feats = jnp.asarray(self.host[uniq])
+            out = out.at[jnp.asarray(miss_idx, jnp.int32)].set(
+                jnp.take(miss_feats, jnp.asarray(inv, jnp.int32), axis=0))
         return out
 
     # --------------------------------------------------------------- metrics
