@@ -49,6 +49,9 @@ class Graph:
     # Optional compiled-kernel layouts (ops/chunked.py); built by ``with_chunked``.
     chunked: Optional[Any] = None     # ChunkedCSR of A (dst-major)
     chunked_t: Optional[Any] = None   # ChunkedCSR of A^T (drives backward)
+    # Optional window-fused layouts (ops/windowed.py); built by ``with_windowed``.
+    hybrid: Optional[Any] = None      # HybridCSR of A (windowed + residual)
+    hybrid_t: Optional[Any] = None    # HybridCSR of A^T
 
     # Static metadata (not traced).
     n_node: int = struct.field(pytree_node=False, default=0)
@@ -146,6 +149,30 @@ class Graph:
         c, ct = build_chunked_pair(src, dst, self.n_real_node, self.n_real_node, w, eb)
         return self.replace(chunked=c, chunked_t=ct)
 
+    def with_windowed(self, eb: int = 512, min_fill: float = 0.25,
+                      min_fraction: float = 0.5) -> "Graph":
+        """Attach the round-4 window-fused SpMM layouts (``ops/windowed.py``):
+        the gather-free kernel for locality-bearing (clustered / COG-reordered)
+        graphs. If fewer than ``min_fraction`` of the edges land on the windowed
+        path, the layouts are NOT attached (the classic gather kernel is the
+        better program there — measured in spmm_tpu_r4.json) and the graph is
+        returned unchanged; callers can check ``g.hybrid is not None``.
+        Also attaches the classic layouts if missing (residual/backward use)."""
+        from dgll_tpu.ops.windowed import build_hybrid_pair
+
+        src = np.asarray(self.src)[: self.n_real_edge]
+        dst = np.asarray(self.dst)[: self.n_real_edge]
+        w = (
+            None
+            if self.edge_weight is None
+            else np.asarray(self.edge_weight)[: self.n_real_edge]
+        )
+        h, ht = build_hybrid_pair(src, dst, self.n_real_node, self.n_real_node,
+                                  w, eb, min_fill)
+        if min(h.windowed_fraction, ht.windowed_fraction) < min_fraction:
+            return self
+        return self.replace(hybrid=h, hybrid_t=ht)
+
     def to_device(self, device=None) -> "Graph":
         """Move all array leaves to device (one batched transfer)."""
         def put(x):
@@ -155,15 +182,24 @@ class Graph:
 
         moved = jax.tree.map(put, self)
         moved = jax.block_until_ready(moved)
-        if moved.chunked is not None:
+        if moved.chunked is not None or moved.hybrid is not None:
             # refresh the layouts' interpret flag for the new placement
             from dgll_tpu.ops.chunked import _target_platform
 
             interp = _target_platform(device) != "tpu"
-            moved = moved.replace(
-                chunked=moved.chunked.replace(interpret=interp),
-                chunked_t=moved.chunked_t.replace(interpret=interp),
-            )
+            if moved.chunked is not None:
+                moved = moved.replace(
+                    chunked=moved.chunked.replace(interpret=interp),
+                    chunked_t=moved.chunked_t.replace(interpret=interp),
+                )
+            if moved.hybrid is not None:
+                def _set(hy):
+                    return hy.replace(
+                        win=hy.win.replace(interpret=interp),
+                        res=None if hy.res is None
+                        else hy.res.replace(interpret=interp))
+                moved = moved.replace(hybrid=_set(moved.hybrid),
+                                      hybrid_t=_set(moved.hybrid_t))
         return moved
 
     # ------------------------------------------------------- DGraph-parity API

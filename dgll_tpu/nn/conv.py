@@ -63,6 +63,12 @@ def _weighted_aggregate(g, h: jax.Array, n_dst: int) -> jax.Array:
     if _is_weighted_block(g):
         rows = jnp.take(h, g.slot.reshape(-1), axis=0).reshape(n_dst, g.k, -1)
         return jnp.einsum("nk,nkf->nf", g.weight.astype(h.dtype), rows)
+    hy = getattr(g, "hybrid", None)
+    if hy is not None and h.shape[-1] % 128 == 0 and hy.win.n_rows >= n_dst:
+        # round-4 window-fused kernel: gather-free for clustered graphs
+        from dgll_tpu.ops.pallas.spmm_windowed import spmm_hybrid
+
+        return spmm_hybrid(hy, g.hybrid_t, h)[:n_dst]
     c = getattr(g, "chunked", None)
     if c is not None and h.shape[-1] % 128 == 0 and c.n_rows >= n_dst:
         from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked

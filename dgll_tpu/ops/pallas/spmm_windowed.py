@@ -41,7 +41,7 @@ from dgll_tpu.ops.windowed import SUB, WIN_ROWS, HybridCSR, WindowedCSR
 
 def _kernel(row_block_ref, win_block_ref, sub_off_ref,
             srcl_ref, dstl_ref, w_ref, xwin_ref, bias_ref,
-            out_ref, acc_ref, msg_ref,
+            out_ref, acc_ref,
             *, eb: int, ft: int, n_sub: int,
             activation: Optional[str], has_bias: bool):
     c = pl.program_id(1)
@@ -53,25 +53,32 @@ def _kernel(row_block_ref, win_block_ref, sub_off_ref,
         c == n_chunk - 1, row_block_ref[jnp.minimum(c + 1, n_chunk - 1)] != rb
     )
     cm = c % 8
+    dt = xwin_ref.dtype
 
-    # --- gather-free message build: one-hot MXU matmul per 128-edge sub-chunk
-    for k in range(n_sub):
-        off = sub_off_ref[c, k]
-        xsub = xwin_ref[pl.ds(off, SUB), :]                       # [SUB, ft]
-        srcl_k = srcl_ref[pl.ds(cm, 1), pl.ds(k * SUB, SUB)]       # [1, SUB]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)  # [row, edge]
-        GT = (rows == srcl_k).astype(xwin_ref.dtype)               # pad=-1 -> 0
-        msg_ref[pl.ds(k * SUB, SUB), :] = jax.lax.dot_general(
-            GT, xsub, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(msg_ref.dtype)
-
-    # --- classic scatter matmul into the revisited output tile
+    # full-row metadata reads (dynamic sublane + full lanes, like the classic
+    # kernel); per-sub-chunk views are VALUE slices, not ref slices
+    srcl_row = srcl_ref[pl.ds(cm, 1), :]                           # [1, EB]
     dstl = dstl_ref[pl.ds(cm, 1), :]
     w = w_ref[pl.ds(cm, 1), :]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, eb), 0)
-    S = jnp.where(rows == dstl, w, 0.0).astype(msg_ref.dtype)
-    part = jnp.dot(S, msg_ref[:], preferred_element_type=jnp.float32)
+    rows_out = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, eb), 0)
+    S = jnp.where(rows_out == dstl, w, 0.0).astype(dt)             # [R, EB]
+
+    # T_k = S_k @ GT_k^T is the chunk's weighted dense adjacency tile over the
+    # 128-row sub-window; part = sum_k T_k @ xsub — the gather never happens,
+    # the one-hot contraction rides the MXU
+    part = jnp.zeros((R_BLOCK, ft), jnp.float32)
+    for k in range(n_sub):
+        off = sub_off_ref[c, k]
+        xsub = xwin_ref[pl.ds(off, SUB), :]                        # [SUB, ft]
+        srcl_k = srcl_row[:, k * SUB:(k + 1) * SUB]                 # [1, SUB]
+        rws = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)    # [row, edge]
+        GT = (rws == srcl_k).astype(dt)                             # pad=-1 -> 0
+        T = jax.lax.dot_general(
+            S[:, k * SUB:(k + 1) * SUB], GT,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )                                                           # [R, SUBrows]
+        part = part + jnp.dot(T.astype(dt), xsub,
+                              preferred_element_type=jnp.float32)
 
     @pl.when(is_first)
     def _():
@@ -132,7 +139,6 @@ def spmm_windowed_pallas(
         out_specs=pl.BlockSpec((R_BLOCK, ft), lambda j, ci, rb, wb, so: (rb[ci], j)),
         scratch_shapes=[
             pltpu.VMEM((R_BLOCK, ft), jnp.float32),
-            pltpu.VMEM((c.eb, ft), x.dtype),
         ],
     )
     return pl.pallas_call(

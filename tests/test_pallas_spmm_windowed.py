@@ -177,3 +177,43 @@ class TestVJP:
                                    rtol=5e-4, atol=5e-4)
         np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref),
                                    rtol=5e-4, atol=5e-4)
+
+
+class TestGraphIntegration:
+    def test_with_windowed_attaches_and_gcn_matches(self):
+        """Graph.with_windowed routes GCNConv aggregation through the fused
+        kernel; output matches the classic chunked path."""
+        import optax
+        from dgll_tpu.graph import Graph
+        from dgll_tpu.nn import GCN
+
+        n = 1024
+        src, dst, w = clustered_coo(n, 8, 4, intra=0.9, seed=10)
+        g = Graph.from_edges(src, dst, n, add_self_loops=True)
+        from dgll_tpu.data import gcn_normalize
+
+        g = gcn_normalize(g)
+        gw = g.with_windowed()
+        assert gw.hybrid is not None
+        gc = g.with_chunked()
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((n, 128)), jnp.float32)
+        model = GCN(hidden=128, n_class=4, dropout=0.0)
+        params = model.init(jax.random.key(0), gw, x)["params"]
+        out_w = model.apply({"params": params}, gw, x, deterministic=True)
+        out_c = model.apply({"params": params}, gc, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out_w), np.asarray(out_c),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_with_windowed_declines_random_graph(self):
+        from dgll_tpu.graph import Graph
+
+        rng = np.random.default_rng(1)
+        # large enough that (dst-block, window) groups are sparse — at this
+        # scale a uniform-random graph has ~4 edges per group, far below fill
+        n = 65536
+        src = rng.integers(0, n, n * 4)
+        dst = rng.integers(0, n, n * 4)
+        g = Graph.from_edges(src, dst, n)
+        gw = g.with_windowed(min_fraction=0.5)
+        assert gw.hybrid is None  # random graph: windowed capture too low
