@@ -40,10 +40,14 @@ from dgll_tpu.ops.windowed import SUB, WIN_ROWS, HybridCSR, WindowedCSR
 
 
 def _kernel(row_block_ref, win_block_ref, sub_off_ref,
-            srcl_ref, dstl_ref, w_ref, xwin_ref, bias_ref,
-            out_ref, acc_ref,
-            *, eb: int, ft: int, n_sub: int,
+            *refs, eb: int, ft: int, n_sub: int,
             activation: Optional[str], has_bias: bool):
+    # refs: srcl_0..srcl_{n_sub-1}, dstl_0.., w_0.., xwin, bias, out, acc
+    srcl_refs = refs[:n_sub]
+    dstl_refs = refs[n_sub:2 * n_sub]
+    w_refs = refs[2 * n_sub:3 * n_sub]
+    xwin_ref, bias_ref, out_ref, acc_ref = refs[3 * n_sub:]
+
     c = pl.program_id(1)
     n_chunk = pl.num_programs(1)
 
@@ -55,27 +59,26 @@ def _kernel(row_block_ref, win_block_ref, sub_off_ref,
     cm = c % 8
     dt = xwin_ref.dtype
 
-    # full-row metadata reads (dynamic sublane + full lanes, like the classic
-    # kernel); per-sub-chunk views are VALUE slices, not ref slices
-    srcl_row = srcl_ref[pl.ds(cm, 1), :]                           # [1, EB]
-    dstl = dstl_ref[pl.ds(cm, 1), :]
-    w = w_ref[pl.ds(cm, 1), :]
-    rows_out = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, eb), 0)
-    S = jnp.where(rows_out == dstl, w, 0.0).astype(dt)             # [R, EB]
-
+    # Per sub-chunk: every metadata read is a FULL-LANE [1, SUB] row (Mosaic
+    # cannot sublane-broadcast a lane-sliced vector — the metadata is stored as
+    # per-sub-chunk planes precisely so no lane slicing happens here).
     # T_k = S_k @ GT_k^T is the chunk's weighted dense adjacency tile over the
     # 128-row sub-window; part = sum_k T_k @ xsub — the gather never happens,
-    # the one-hot contraction rides the MXU
+    # the one-hot contraction rides the MXU.
     part = jnp.zeros((R_BLOCK, ft), jnp.float32)
+    rows_out = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, SUB), 0)
+    rws = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)        # [row, edge]
     for k in range(n_sub):
         off = sub_off_ref[c, k]
         xsub = xwin_ref[pl.ds(off, SUB), :]                        # [SUB, ft]
-        srcl_k = srcl_row[:, k * SUB:(k + 1) * SUB]                 # [1, SUB]
-        rws = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)    # [row, edge]
+        srcl_k = srcl_refs[k][pl.ds(cm, 1), :]                      # [1, SUB]
+        dstl_k = dstl_refs[k][pl.ds(cm, 1), :]
+        w_k = w_refs[k][pl.ds(cm, 1), :]
+        S_k = jnp.where(rows_out == dstl_k, w_k, 0.0).astype(dt)    # [R, SUB]
         GT = (rws == srcl_k).astype(dt)                             # pad=-1 -> 0
         T = jax.lax.dot_general(
-            S[:, k * SUB:(k + 1) * SUB], GT,
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            S_k, GT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )                                                           # [R, SUBrows]
         part = part + jnp.dot(T.astype(dt), xsub,
                               preferred_element_type=jnp.float32)
@@ -118,7 +121,7 @@ def spmm_windowed_pallas(
         bias = jnp.zeros((f,), x.dtype)
     if weights is None:
         weights = c.weight
-    assert weights.shape == (c.n_chunk_meta, c.eb), weights.shape
+    assert weights.shape == (c.n_sub, c.n_chunk_meta, SUB), weights.shape
 
     n_sub = c.n_sub
     grid = (f // ft, c.n_chunk)
@@ -126,21 +129,26 @@ def spmm_windowed_pallas(
         _kernel, eb=c.eb, ft=ft, n_sub=n_sub,
         activation=activation, has_bias=has_bias,
     )
+    meta_spec = pl.BlockSpec((8, SUB), lambda j, ci, rb, wb, so: (ci // 8, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # row_block, win_block, sub_off
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, c.eb), lambda j, ci, rb, wb, so: (ci // 8, 0)),  # src_local
-            pl.BlockSpec((8, c.eb), lambda j, ci, rb, wb, so: (ci // 8, 0)),  # dst_local
-            pl.BlockSpec((8, c.eb), lambda j, ci, rb, wb, so: (ci // 8, 0)),  # weight
-            pl.BlockSpec((WIN_ROWS, ft), lambda j, ci, rb, wb, so: (wb[ci], j)),  # x window
-            pl.BlockSpec((1, ft), lambda j, ci, rb, wb, so: (0, j)),          # bias
-        ],
+        in_specs=(
+            [meta_spec] * (3 * n_sub)   # srcl_k, dstl_k, w_k planes
+            + [
+                pl.BlockSpec((WIN_ROWS, ft),
+                             lambda j, ci, rb, wb, so: (wb[ci], j)),  # x window
+                pl.BlockSpec((1, ft), lambda j, ci, rb, wb, so: (0, j)),  # bias
+            ]
+        ),
         out_specs=pl.BlockSpec((R_BLOCK, ft), lambda j, ci, rb, wb, so: (rb[ci], j)),
         scratch_shapes=[
             pltpu.VMEM((R_BLOCK, ft), jnp.float32),
         ],
     )
+    planes = ([c.src_local[k] for k in range(n_sub)]
+              + [c.dst_local[k] for k in range(n_sub)]
+              + [weights[k] for k in range(n_sub)])
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -152,7 +160,7 @@ def spmm_windowed_pallas(
             transcendentals=0,
         ),
     )(c.row_block, c.win_block, c.sub_off,
-      c.src_local, c.dst_local, weights, x, bias.reshape(1, f))
+      *planes, x, bias.reshape(1, f))
 
 
 def _pad_cols(x: jax.Array, n_cols_pad: int) -> jax.Array:

@@ -58,9 +58,12 @@ def _sub_window_off(lo: int) -> int:
 class WindowedCSR:
     """Edges packed into [n_chunk, EB] slots with per-chunk x windows."""
 
-    src_local: jax.Array   # [n_chunk_meta, EB] int32, window-relative (-1 pad)
-    dst_local: jax.Array   # [n_chunk_meta, EB] int32 in [0, R_BLOCK)
-    weight: jax.Array      # [n_chunk_meta, EB] float32 (0 on padding)
+    # Metadata is stored PER SUB-CHUNK ([n_sub, n_chunk_meta, SUB]) so every
+    # kernel read is a full-lane [1, SUB] row — Mosaic cannot sublane-broadcast
+    # a lane-sliced vector (measured: "Invalid input layout" on vector.broadcast)
+    src_local: jax.Array   # [n_sub, n_chunk_meta, SUB] int32, window-rel (-1 pad)
+    dst_local: jax.Array   # [n_sub, n_chunk_meta, SUB] int32 in [0, R_BLOCK)
+    weight: jax.Array      # [n_sub, n_chunk_meta, SUB] float32 (0 on padding)
     row_block: jax.Array   # [n_chunk] int32, non-decreasing
     win_block: jax.Array   # [n_chunk] int32 — x block index for the chunk
     sub_off: jax.Array     # [n_chunk, EB // SUB] int32 sub-window starts
@@ -80,7 +83,7 @@ class WindowedCSR:
 
     @property
     def n_chunk_meta(self) -> int:
-        return self.src_local.shape[0]
+        return self.src_local.shape[1]
 
 
 def build_windowed(
@@ -165,9 +168,9 @@ def build_windowed(
         n_chunk += 1
     n_meta = ((n_chunk + 7) // 8) * 8
 
-    SL = np.full((n_meta, eb), -1, np.int32)
-    DL = np.zeros((n_meta, eb), np.int32)
-    W = np.zeros((n_meta, eb), np.float32)
+    SL = np.full((n_sub, n_meta, SUB), -1, np.int32)
+    DL = np.zeros((n_sub, n_meta, SUB), np.int32)
+    W = np.zeros((n_sub, n_meta, SUB), np.float32)
     RB = np.zeros(n_chunk, np.int32)
     WB = np.zeros(n_chunk, np.int32)
     SO = np.zeros((n_chunk, n_sub), np.int32)
@@ -180,9 +183,9 @@ def build_windowed(
             rel = (so[i:j] - wn * WIN_ROWS).astype(np.int64)
             off = _sub_window_off(int(rel[0]))
             SO[c, k] = off
-            SL[c, k * SUB: k * SUB + m] = (rel - off).astype(np.int32)
-            DL[c, k * SUB: k * SUB + m] = (do[i:j] - b * R_BLOCK).astype(np.int32)
-            W[c, k * SUB: k * SUB + m] = wo[i:j]
+            SL[k, c, :m] = (rel - off).astype(np.int32)
+            DL[k, c, :m] = (do[i:j] - b * R_BLOCK).astype(np.int32)
+            W[k, c, :m] = wo[i:j]
     RB[len(chunks):] = nb - 1
 
     resid_idx = None
@@ -257,14 +260,16 @@ def spmm_windowed_xla(c: WindowedCSR, x: jax.Array) -> jax.Array:
                     * x[win_block[c]*WIN + sub_off[c, e//SUB] + src_local[c,e]]
     """
     nc = c.n_chunk
-    sl = c.src_local[:nc].reshape(nc, c.n_sub, SUB)
+    sl = c.src_local[:, :nc].transpose(1, 0, 2)          # [nc, n_sub, SUB]
+    dl = c.dst_local[:, :nc].transpose(1, 0, 2).reshape(nc, c.eb)
+    wv = c.weight[:, :nc].transpose(1, 0, 2).reshape(nc, c.eb)
     base = c.win_block[:, None, None] * WIN_ROWS + c.sub_off[:, :, None]
     gidx = jnp.clip(base + sl, 0, x.shape[0] - 1).reshape(nc, c.eb)
     msg = jnp.take(x, gidx.reshape(-1), axis=0).reshape(nc, c.eb, -1)
-    valid = (c.src_local[:nc] >= 0)
-    w = jnp.where(valid, c.weight[:nc], 0.0)
+    valid = sl.reshape(nc, c.eb) >= 0
+    w = jnp.where(valid, wv, 0.0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, c.eb), 0)
-    S = jnp.where(rows[None] == c.dst_local[:nc, None, :], w[:, None, :], 0.0
+    S = jnp.where(rows[None] == dl[:, None, :], w[:, None, :], 0.0
                   ).astype(x.dtype)
     part = jnp.einsum("cre,ced->crd", S, msg, preferred_element_type=jnp.float32)
     out = jax.ops.segment_sum(part, c.row_block[:nc], num_segments=c.n_row_blocks)

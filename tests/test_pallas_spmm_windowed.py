@@ -55,12 +55,12 @@ class TestBuilder:
         for ci in range(c.n_chunk):
             for k in range(c.n_sub):
                 for e in range(SUB):
-                    sl = int(c.src_local[ci, k * SUB + e])
+                    sl = int(c.src_local[k, ci, e])
                     if sl < 0:
                         continue
                     gsrc = int(c.win_block[ci]) * WIN_ROWS + int(c.sub_off[ci, k]) + sl
-                    gdst = int(c.row_block[ci]) * R_BLOCK + int(c.dst_local[ci, k * SUB + e])
-                    got.append((gsrc, gdst, float(c.weight[ci, k * SUB + e])))
+                    gdst = int(c.row_block[ci]) * R_BLOCK + int(c.dst_local[k, ci, e])
+                    got.append((gsrc, gdst, float(c.weight[k, ci, e])))
         if h.res is not None:
             r = h.res
             for ci in range(r.n_chunk):
@@ -78,7 +78,7 @@ class TestBuilder:
     def test_sub_window_bounds(self):
         src, dst, w = clustered_coo(2048, 10, 8, intra=0.8, seed=2)
         c, resid = build_windowed(src, dst, 2048, 2048, w)
-        sl = np.asarray(c.src_local[: c.n_chunk])
+        sl = np.asarray(c.src_local[:, : c.n_chunk])
         so = np.asarray(c.sub_off)
         assert sl.max() < SUB and (so % 8 == 0).all()
         assert so.max() <= WIN_ROWS - SUB
