@@ -69,7 +69,7 @@ def _kernel(row_block_ref, win_block_ref, sub_off_ref,
     rows_out = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, SUB), 0)
     rws = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)        # [row, edge]
     for k in range(n_sub):
-        off = sub_off_ref[c, k]
+        off = sub_off_ref[c * n_sub + k]
         xsub = xwin_ref[pl.ds(off, SUB), :]                        # [SUB, ft]
         srcl_k = srcl_refs[k][pl.ds(cm, 1), :]                      # [1, SUB]
         dstl_k = dstl_refs[k][pl.ds(cm, 1), :]
@@ -159,7 +159,7 @@ def spmm_windowed_pallas(
             bytes_accessed=c.n_chunk * (WIN_ROWS * f * x.dtype.itemsize + c.eb * 12),
             transcendentals=0,
         ),
-    )(c.row_block, c.win_block, c.sub_off,
+    )(c.row_block, c.win_block, c.sub_off.reshape(-1),  # 1-D: 2-D SMEM lane-pads 32x
       *planes, x, bias.reshape(1, f))
 
 
