@@ -35,7 +35,7 @@ def graphs(n, e, rng):
     comm = dst // csize
     loc = rng.random(e) < intra
     src = np.where(loc, comm * csize + rng.integers(0, csize, e),
-                   rng.integers(0, n, e))
+                   rng.integers(0, n, e)) % n
     out["clustered"] = (src.astype(np.int64), dst.astype(np.int64))
 
     w = (np.arange(n, dtype=np.float64) + 1.0) ** -1.0

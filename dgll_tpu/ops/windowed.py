@@ -105,6 +105,11 @@ def build_windowed(
     """
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
+    if len(src) and (src.max() >= n_cols or dst.max() >= n_rows):
+        # out-of-range ids would become out-of-bounds window DMAs at runtime
+        raise ValueError(
+            f"edge ids out of range: src<{n_cols}, dst<{n_rows} required "
+            f"(got max src {src.max()}, max dst {dst.max()})")
     w = np.ones(len(src), np.float32) if weight is None else np.asarray(weight, np.float32)
     n_sub = eb // SUB
 

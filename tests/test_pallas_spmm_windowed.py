@@ -34,7 +34,7 @@ def clustered_coo(n, deg, n_comm, intra=0.9, seed=0):
         local,
         comm * csize + rng.integers(0, csize, e),
         rng.integers(0, n, e),
-    )
+    ) % n  # communities at the tail may overrun n when csize does not divide it
     w = rng.random(e).astype(np.float32) + 0.5
     return src.astype(np.int64), dst.astype(np.int64), w
 
