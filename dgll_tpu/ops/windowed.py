@@ -49,9 +49,10 @@ SUB = 128        # edges per sub-chunk == sub-window rows (one-hot width)
 
 
 def _sub_window_off(lo: int) -> int:
-    """Sub-window start: clamped into [0, WIN_ROWS-SUB], aligned down to the
-    8-row sublane tile (dynamic VMEM slices want sublane-aligned starts)."""
-    return int(min(max(lo, 0), WIN_ROWS - SUB)) & ~7
+    """Sub-window start: clamped into [0, WIN_ROWS-SUB], aligned down to 16
+    rows — the bf16 sublane tile (dynamic VMEM slices need tile-aligned starts;
+    16 serves both f32 (8) and bf16 (16) windows)."""
+    return int(min(max(lo, 0), WIN_ROWS - SUB)) & ~15
 
 
 @struct.dataclass

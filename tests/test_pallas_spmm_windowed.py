@@ -80,7 +80,7 @@ class TestBuilder:
         c, resid = build_windowed(src, dst, 2048, 2048, w)
         sl = np.asarray(c.src_local[:, : c.n_chunk])
         so = np.asarray(c.sub_off)
-        assert sl.max() < SUB and (so % 8 == 0).all()
+        assert sl.max() < SUB and (so % 16 == 0).all()
         assert so.max() <= WIN_ROWS - SUB
         # row_block non-decreasing, all blocks covered
         rb = np.asarray(c.row_block)
