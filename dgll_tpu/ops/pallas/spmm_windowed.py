@@ -69,7 +69,7 @@ def _kernel(row_block_ref, win_block_ref, sub_off_ref,
     rows_out = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, SUB), 0)
     rws = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)        # [row, edge]
     for k in range(n_sub):
-        off = sub_off_ref[c * n_sub + k]
+        off = pl.multiple_of(sub_off_ref[c * n_sub + k], 16)
         xsub = xwin_ref[pl.ds(off, SUB), :]                        # [SUB, ft]
         srcl_k = srcl_refs[k][pl.ds(cm, 1), :]                      # [1, SUB]
         dstl_k = dstl_refs[k][pl.ds(cm, 1), :]
