@@ -101,8 +101,12 @@ def main():
         if h.res is not None:
             slots += h.res.n_chunk * h.res.eb
         for tag, mdt, isz in (("f32", None, 4), ("bf16", jnp.bfloat16, 2)):
-            f_hyb = jax.jit(functools_partial_spmm(spmm_hybrid, h, ht, mdt,
-                                                   n_node))
+            # layouts as jit ARGUMENTS, not closure constants — embedded
+            # constants blow past the remote-compile request size limit
+            f_hyb_raw = jax.jit(
+                lambda x, h_, ht_, _m=mdt: spmm_hybrid(
+                    h_, ht_, x, msg_dtype=_m)[:n_node] * 0.5)
+            f_hyb = lambda x: f_hyb_raw(x, h, ht)
             dt_h = chain_time(f_hyb, x0)
             row = _row(dt_h, n_edge, e_pad_c, feat_dim, isz, n_node, dt)
             row["windowed_fraction"] = round(h.windowed_fraction, 3)
@@ -116,13 +120,14 @@ def main():
         t_target = jnp.asarray(
             rng.standard_normal((h.win.n_rows, feat_dim), dtype=np.float32))
 
-        def fb(x, _h=h, _ht=ht):
+        @jax.jit
+        def fb_raw(x, h_, ht_, t_):
             def lo(x_):
-                o = spmm_hybrid(_h, _ht, x_, activation="relu")
-                return jnp.vdot(o, t_target)
+                o = spmm_hybrid(h_, ht_, x_, activation="relu")
+                return jnp.vdot(o, t_)
             return jax.grad(lo)(x) * 1e-3 + x * 0.5
 
-        dt_fb = chain_time(jax.jit(fb), x0)
+        dt_fb = chain_time(lambda x: fb_raw(x, h, ht, t_target), x0)
         g["hybrid_fwd_bwd_f32"] = {"ms": round(dt_fb * 1e3, 2),
                                    "medges_per_s_2pass":
                                        round(2 * n_edge / dt_fb / 1e6, 1)}
