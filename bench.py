@@ -208,16 +208,27 @@ def _fullgraph_kernel_bench(jax, jnp, hbm_gbps: float = 819.0) -> dict:
     # path needs F % 128 == 0; a 32-class head would fall back to XLA scatter)
     feat_dim, hidden, n_class = 128, 128, 128
     rng = np.random.default_rng(1)
-    src, dst = _power_law_graph(n_node, avg_deg, alpha=1.0, seed=1)
+    # clustered SBM graph — the structure of the reference's real benchmark
+    # targets (products/reddit) and of anything COG-reordered; the round-4
+    # window-fused kernel (ops/windowed.py) serves it gather-free. Random
+    # graphs fall back to the classic gather kernel automatically
+    # (with_windowed declines below 50% capture; A/B in spmm_tpu_r4.json).
+    n_edge0 = n_node * avg_deg
+    csize = 2048
+    dstc = rng.integers(0, n_node, n_edge0)
+    loc = rng.random(n_edge0) < 0.9
+    srcc = np.where(loc, (dstc // csize) * csize + rng.integers(0, csize, n_edge0),
+                    rng.integers(0, n_node, n_edge0)) % n_node
     g = Graph.from_edges(
-        src, dst, n_node,
+        srcc, dstc, n_node,
         node_feat=rng.standard_normal((n_node, feat_dim), dtype=np.float32),
         labels=rng.integers(0, n_class, n_node).astype(np.int32),
         train_mask=np.ones(n_node, bool),
         add_self_loops=True,
     )
-    g = gcn_normalize(g).with_chunked(eb=512).to_device()
+    g = gcn_normalize(g).with_windowed().with_chunked(eb=512).to_device()
     assert g.chunked is not None and not g.chunked.interpret
+    windowed = g.hybrid is not None
 
     model = GCN(hidden=hidden, n_class=n_class, dropout=0.0,
                 dtype=None if dtype == jnp.float32 else dtype)
@@ -246,10 +257,12 @@ def _fullgraph_kernel_bench(jax, jnp, hbm_gbps: float = 819.0) -> dict:
     bytes_moved = 4 * (3 * slots + n_node) * hidden * dtype.itemsize
     return {
         "dtype": str(dtype),
+        "kernel": "windowed_hybrid" if windowed else "classic_chunked",
         "step_ms": round(dt * 1e3, 2),
         "edges_per_s_per_layerpass": int(4 * n_edge / dt),
         "n_node": n_node,
         "n_edge": int(n_edge),
+        "windowed_fraction": round(g.hybrid.windowed_fraction, 3) if windowed else 0.0,
         "pad_factor": round(slots / n_edge, 3),
         "roofline_fraction": round(bytes_moved / dt / 1e9 / hbm_gbps, 3),
     }
