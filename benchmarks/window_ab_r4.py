@@ -42,14 +42,19 @@ def main():
     avg_deg = int(os.environ.get("WA_DEG", 15))
     max_epochs = int(os.environ.get("WA_EPOCHS", 60))
     n_stops = int(os.environ.get("WA_STOPS", 8))
+    noise = float(os.environ.get("WA_NOISE", 4.5))
+    homophily = float(os.environ.get("WA_HOMOPHILY", 0.55))
     batch, fanouts = 1024, [15, 10]
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results", "window_ab_r4.json")
 
     t0 = time.perf_counter()
+    # hard regime: high feature noise + moderate homophily, so converged
+    # accuracy sits well below 1.0 and sampling-quality differences can show
     g = synthetic_classification_graph(
         n_node=n_node, avg_degree=avg_deg, n_class=32, feat_dim=100,
-        power_law=1.0, homophily=0.75, feat_noise=2.5, seed=0, train_frac=0.1)
+        power_law=1.0, homophily=homophily, feat_noise=noise, seed=0,
+        train_frac=0.02)
     print(f"[ab] graph {time.perf_counter()-t0:.1f}s", flush=True)
 
     feats = jnp.asarray(g.node_feat)
@@ -79,7 +84,8 @@ def main():
             te = time.perf_counter()
             state, loss = run_epoch(state)
             loss = float(loss)
-            t_train += time.perf_counter() - te
+            if ep > 0:   # epoch 0 pays the compile; keep timing honest
+                t_train += time.perf_counter() - te
             epochs += 1
             val = eval_runner.evaluate_nodes(state, feats, labels_np, val_nodes,
                                              seed=7)
@@ -95,7 +101,8 @@ def main():
                                           test_nodes, seed=9)
         results["variants"][name] = {
             "best_val": round(best_val, 4), "test_acc": round(test, 4),
-            "epochs": epochs, "train_s_per_epoch": round(t_train / epochs, 3),
+            "epochs": epochs,
+            "train_s_per_epoch": round(t_train / max(epochs - 1, 1), 3),
         }
         print(f"[{name}] DONE best_val={best_val:.4f} test={test:.4f} "
               f"({epochs} epochs)", flush=True)
