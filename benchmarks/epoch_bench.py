@@ -192,6 +192,82 @@ def main():
             "vs_dgll_products_batch": round(6.12 / b16_ms, 2),
         }
 
+    # ---------------- device-resident LAYER-WISE sampling (FastGCN in-jit):
+    # the reference's fastest algorithm (MQFastGCN.py:60-88, the 6.12 ms/batch
+    # source) running on the framework's fastest path (scanned epoch)
+    if run_device and os.environ.get("EB_LAYERWISE", "1") == "1":
+        from dgll_tpu.graph import Graph
+        from dgll_tpu.sampling import build_device_lap
+
+        t1 = time.perf_counter()
+        # Graph view over the existing CSR (no re-sort; dst expanded from indptr)
+        gg = Graph(indptr=indptr.astype(np.int32), src=src_s.astype(np.int32),
+                   dst=np.repeat(np.arange(n_node, dtype=np.int32),
+                                 np.diff(indptr).astype(np.int64)),
+                   n_node=n_node, n_edge=len(src_s),
+                   n_real_node=n_node, n_real_edge=len(src_s))
+        lap = build_device_lap(gg, k=32)
+        print(f"[epoch] device lap built {time.perf_counter()-t1:.1f}s",
+              file=sys.stderr, flush=True)
+        sizes = [2048, 1024]
+        from dgll_tpu.nn import GCN as _GCN
+        model_lw = _GCN(hidden=hidden, n_class=n_class, dropout=0.0)
+        runner_lw = DeviceEpochRunner(model_lw, optax.adam(1e-3), lap, sizes,
+                                      batch, train_nodes, seed=0,
+                                      sampler="fastgcn")
+        state_lw = runner_lw.init_state(feats)
+        state_lw, llw = runner_lw.run_epoch(state_lw, feats, labels)
+        float(llw)
+
+        def devlw_epoch():
+            nonlocal state_lw
+            state_lw, loss = runner_lw.run_epoch(state_lw, feats, labels)
+            return loss
+
+        lw_s, lw_loss = timed_epochs(devlw_epoch)
+        lw_ms = lw_s / runner_lw.n_batches * 1e3
+        detail["device_pipeline_fastgcn"] = {
+            "epoch_s": round(lw_s, 3), "layer_sizes": sizes, "ell_k": 32,
+            "batch_ms_incl_sampling": round(lw_ms, 3),
+            "loss": round(lw_loss, 4),
+            "vs_dgll_products_batch": round(6.12 / lw_ms, 2),
+        }
+        print(f"[epoch] fastgcn {lw_ms:.2f} ms/batch", file=sys.stderr, flush=True)
+
+    # ---------------- compiled evaluation sweep (one dispatch per val set) vs
+    # the host-loader sweep it replaces (VERDICT r3 #3 evidence)
+    if run_device and os.environ.get("EB_EVAL", "1") == "1":
+        val_nodes = rng.choice(n_node, min(50_000, n_node // 2), replace=False)
+        tval0 = time.perf_counter()
+        _ = runner.evaluate_nodes(state, feats, np.asarray(labels), val_nodes)
+        t_compile = time.perf_counter() - tval0
+        tval = time.perf_counter()
+        acc = runner.evaluate_nodes(state, feats, np.asarray(labels), val_nodes)
+        t_dev_eval = time.perf_counter() - tval
+
+        from dgll_tpu.dataloader import DataLoader
+
+        hg_e = HostGraph(indptr, src_s, n_node)
+        ev = MiniBatchTrainer(model, optax.adam(1e-3))
+        val_loader = DataLoader(hg_e, val_nodes, NeighborSampler(fanouts, seed=1),
+                                batch, shuffle=False, seed=1)
+        _ = ev.evaluate_nodes(state, val_loader, feats, labels)  # warm/compile
+        tval = time.perf_counter()
+        val_loader = DataLoader(hg_e, val_nodes, NeighborSampler(fanouts, seed=1),
+                                batch, shuffle=False, seed=1)
+        _ = ev.evaluate_nodes(state, val_loader, feats, labels)
+        t_host_eval = time.perf_counter() - tval
+        nb_eval = -(-len(val_nodes) // batch)
+        detail["eval_sweep_50k"] = {
+            "compiled_sweep_s": round(t_dev_eval, 3),
+            "compiled_ms_per_batch": round(t_dev_eval / nb_eval * 1e3, 3),
+            "host_loader_sweep_s": round(t_host_eval, 3),
+            "host_ms_per_batch": round(t_host_eval / nb_eval * 1e3, 3),
+            "speedup": round(t_host_eval / max(t_dev_eval, 1e-9), 2),
+        }
+        print(f"[epoch] eval sweep dev {t_dev_eval:.2f}s vs host "
+              f"{t_host_eval:.2f}s", file=sys.stderr, flush=True)
+
     # ---------------- host pipeline (fallback for >HBM graphs): PACKED form —
     # the host ships only (ids, mask) per batch; blocks rebuilt + features
     # gathered inside the jitted step (2 H2D transfers/batch)
