@@ -130,17 +130,23 @@ def gat_attention_chunked(
     One HBM feature gather (source rows), scores/softmax/aggregation on kernels.
     Fully differentiable (custom VJPs above + XLA softmax).
     """
+    from dgll_tpu.ops.pallas.edge_ops import (
+        edge_softmax_chunked_fast,
+        rows_to_edges_d,
+    )
+
     nc, nm = c.n_chunk, c.n_chunk_meta
     msg = jnp.take(h, c.src[:nc].reshape(-1), axis=0)     # the one gather
     sc_src = msg @ a_src.astype(msg.dtype)                # [E] no gather
     sc_src = jnp.pad(sc_src, (0, (nm - nc) * c.eb))       # to the metadata layout
     s_dst = h @ a_dst.astype(h.dtype)                     # [n_rows]
-    dst_global = (c.row_block[:, None] * R_BLOCK + c.dst_local).reshape(-1)
-    sc_dst = jnp.take(s_dst, dst_global)                  # scalar gather (small operand)
-    e = sc_src + sc_dst.reshape(-1)
-    e = jnp.where(e > 0, e, negative_slope * e).reshape(nm, c.eb)
-    alpha = edge_softmax_chunked(c, e)
-    return spmm_dyn(c, ct, msg, alpha, interpret)
+    # dst-score broadcast + softmax ride the chunk kernels (edge_ops.py) —
+    # the XLA take/segment forms cost ~10x on TPU (gat_profile_r4.json)
+    sc_dst = rows_to_edges_d(c, s_dst, interpret).reshape(-1)
+    e = sc_src + sc_dst
+    e = jnp.where(e > 0, e, negative_slope * e)
+    alpha = edge_softmax_chunked_fast(c, e[:, None], interpret)[:, 0]
+    return spmm_dyn(c, ct, msg, alpha.reshape(nm, c.eb), interpret)
 
 
 def gat_attention_chunked_multihead(
@@ -166,16 +172,24 @@ def gat_attention_chunked_multihead(
     nc, nm = c.n_chunk, c.n_chunk_meta
     e_rows = nc * c.eb
     msg = jnp.take(h, c.src[:nc].reshape(-1), axis=0)      # [E, H*F] one gather
-    dst_global = (c.row_block[:, None] * R_BLOCK + c.dst_local).reshape(-1)
 
     msg_hf = msg.reshape(e_rows, n_heads, f)
     sc_src = jnp.einsum("ehf,hf->eh", msg_hf, a_src.astype(msg.dtype))
     sc_src = jnp.pad(sc_src, ((0, (nm - nc) * c.eb), (0, 0)))  # metadata layout
     s_dst = jnp.einsum("nhf,hf->nh", h.reshape(-1, n_heads, f), a_dst.astype(h.dtype))
-    sc_dst = jnp.take(s_dst, dst_global, axis=0)           # [Emeta, H]
+    # dst-score broadcast + softmax ride the chunk kernels (edge_ops.py) —
+    # the XLA take/segment forms cost ~10x on TPU (gat_profile_r4.json)
+    from dgll_tpu.ops.pallas.edge_ops import (
+        edge_softmax_chunked_fast,
+        rows_to_edges_d,
+    )
+
+    sc_dst = jnp.stack(
+        [rows_to_edges_d(c, s_dst[:, hh], interpret).reshape(-1)
+         for hh in range(n_heads)], axis=-1)               # [Emeta, H]
     e = sc_src + sc_dst
     e = jnp.where(e > 0, e, negative_slope * e)
-    alpha = edge_softmax_chunked_heads(c, e)               # [Emeta, H]
+    alpha = edge_softmax_chunked_fast(c, e, interpret)     # [Emeta, H]
 
     msg_w = (msg_hf * alpha[:e_rows, :, None].astype(msg.dtype)).reshape(e_rows, -1)
     out = spmm_msg(c, ct, msg_w, interpret)                # one launch, width H*F
