@@ -66,6 +66,23 @@ def main():
 
         dt_k = chain_time(jax.jit(f_kernel), x)
         dt_x = chain_time(jax.jit(f_xla), x)
+
+        # trained-through: fwd + custom-VJP bwd in one chained step (r4 ask)
+        tgt = jnp.asarray(np.random.default_rng(2).standard_normal(
+            (x.shape[0], H * F)).astype(np.float32))
+
+        def f_kernel_fb(xi):
+            def lo(xi_):
+                return jnp.vdot(conv.apply(params, gc, xi_), tgt)
+            return jax.grad(lo)(xi) * 1e-3 + xi
+
+        def f_xla_fb(xi):
+            def lo(xi_):
+                return jnp.vdot(conv.apply(params, gp, xi_), tgt)
+            return jax.grad(lo)(xi) * 1e-3 + xi
+
+        dt_kfb = chain_time(jax.jit(f_kernel_fb), x)
+        dt_xfb = chain_time(jax.jit(f_xla_fb), x)
         key = f"gat_{H}h{F}d"
         results[key] = {
             "label": tag,
@@ -73,6 +90,11 @@ def main():
             "xla_ms": round(dt_x * 1e3, 2),
             "speedup": round(dt_x / dt_k, 2),
             "medges_per_s_kernel": round(g.n_real_edge / dt_k / 1e6, 1),
+            "fwd_bwd_kernel_ms": round(dt_kfb * 1e3, 2),
+            "fwd_bwd_xla_ms": round(dt_xfb * 1e3, 2),
+            "fwd_bwd_speedup": round(dt_xfb / dt_kfb, 2),
+            "medges_per_s_kernel_fwd_bwd_2pass": round(
+                2 * g.n_real_edge / dt_kfb / 1e6, 1),
             "matches_xla": bool(ok),
             "max_rel_diff": round(max_rel, 5),
         }
