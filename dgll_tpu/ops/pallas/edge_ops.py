@@ -237,3 +237,194 @@ def edge_softmax_chunked_fast(c: ChunkedCSR, scores: jax.Array,
         dene = rows_to_edges_d(c, den, interpret)
         outs.append((ex / jnp.maximum(dene, 1e-16)).reshape(-1))
     return jnp.stack(outs, axis=-1)
+
+
+# ---------------------------------------------------------------- multi-head
+# One launch for ALL heads: the one-hot compare M is built once per chunk and
+# shared across the H matvecs — vs H separate launches, this cuts grid-step
+# overhead (the dominant cost at small per-chunk work) by ~H and the compare
+# work by H. Heads travel as separate planes (full-lane reads only).
+
+
+def _r2e_multi_kernel(rb_ref, dstl_ref, *refs):
+    H = len(refs) // 2
+    v_refs, out_refs = refs[:H], refs[H:]
+    c = pl.program_id(0)
+    cm = c % 8
+    rbm = rb_ref[c] % 8
+    dstl = dstl_ref[pl.ds(cm, 1), :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, dstl.shape[1]), 0)
+    M = (rows == dstl).astype(jnp.float32)                     # shared compare
+    for h in range(H):
+        out_refs[h][pl.ds(cm, 1), :] = jnp.dot(
+            v_refs[h][pl.ds(rbm, 1), :], M,
+            preferred_element_type=jnp.float32)
+
+
+def _rows_to_edges_multi_impl(c: ChunkedCSR, v: jax.Array, interpret):
+    H = v.shape[-1]
+    nrb8 = _nrb_pad8(c)
+    planes = [
+        jnp.pad(v[:, h].reshape(c.n_row_blocks, R_BLOCK).astype(jnp.float32),
+                ((0, nrb8 - c.n_row_blocks), (0, 0)))
+        for h in range(H)
+    ]
+    vspec = pl.BlockSpec((8, R_BLOCK), lambda ci, rb: (rb[ci] // 8, 0))
+    ospec = pl.BlockSpec((8, c.eb), lambda ci, rb: (ci // 8, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c.n_chunk,),
+        in_specs=[pl.BlockSpec((8, c.eb), lambda ci, rb: (ci // 8, 0))]
+        + [vspec] * H,
+        out_specs=tuple([ospec] * H),
+    )
+    outs = pl.pallas_call(
+        _r2e_multi_kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct((c.n_chunk_meta, c.eb), jnp.float32)
+                        for _ in range(H)),
+        interpret=interpret,
+    )(c.row_block, c.dst_local, *planes)
+    live = jnp.arange(c.n_chunk_meta)[:, None] < c.n_chunk
+    return jnp.stack([jnp.where(live, o, 0.0).reshape(-1) for o in outs],
+                     axis=-1)
+
+
+def _e2r_multi_kernel(rb_ref, dstl_ref, w_ref, *refs, op, H):
+    e_refs = refs[:H]
+    out_refs = refs[H:2 * H]
+    acc_refs = refs[2 * H:]
+    c = pl.program_id(0)
+    n_chunk = pl.num_programs(0)
+    rb = rb_ref[c]
+    is_first = jnp.logical_or(c == 0, rb_ref[jnp.maximum(c - 1, 0)] != rb)
+    is_last = jnp.logical_or(
+        c == n_chunk - 1, rb_ref[jnp.minimum(c + 1, n_chunk - 1)] != rb)
+    cm = c % 8
+    dstl = dstl_ref[pl.ds(cm, 1), :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, dstl.shape[1]), 0)
+    hit = rows == dstl
+    if op != "sum_all":
+        hit = hit & (w_ref[pl.ds(cm, 1), :] != 0.0)
+    Mf = hit.astype(jnp.float32)
+    for h in range(H):
+        vals = e_refs[h][pl.ds(cm, 1), :].astype(jnp.float32)
+        if op.startswith("sum"):
+            part = jax.lax.dot_general(
+                Mf, vals, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            combine = lambda a, b: a + b
+        else:
+            W = jnp.where(hit, vals, NEG)
+            part = jnp.max(W, axis=1, keepdims=True)
+            combine = jnp.maximum
+
+        @pl.when(is_first)
+        def _(part=part, h=h):
+            acc_refs[h][...] = part
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(part=part, h=h, combine=combine):
+            acc_refs[h][...] = combine(acc_refs[h][...], part)
+
+        @pl.when(is_last)
+        def _(h=h):
+            out_refs[h][...] = acc_refs[h][...]
+
+
+def _edges_to_rows_multi_impl(c: ChunkedCSR, e_vals: jax.Array, op, interpret):
+    H = e_vals.shape[-1]
+    planes = [e_vals[:, h].reshape(c.n_chunk_meta, c.eb).astype(jnp.float32)
+              for h in range(H)]
+    mspec = pl.BlockSpec((8, c.eb), lambda ci, rb: (ci // 8, 0))
+    ospec = pl.BlockSpec((R_BLOCK, 1), lambda ci, rb: (rb[ci], 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c.n_chunk,),
+        in_specs=[mspec, mspec] + [mspec] * H,
+        out_specs=tuple([ospec] * H),
+        scratch_shapes=[pltpu.VMEM((R_BLOCK, 1), jnp.float32)
+                        for _ in range(H)],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_e2r_multi_kernel, op=op, H=H),
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct((c.n_rows, 1), jnp.float32)
+                        for _ in range(H)),
+        interpret=interpret,
+    )(c.row_block, c.dst_local, c.weight, *planes)
+    return jnp.concatenate([o for o in outs], axis=-1)   # [n_rows, H]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _r2e_multi_d(interpret, c, v):
+    return _rows_to_edges_multi_impl(c, v, interpret)
+
+
+def _r2em_fwd(interpret, c, v):
+    return _rows_to_edges_multi_impl(c, v, interpret), c
+
+
+def _r2em_bwd(interpret, c, g):
+    return zero_cotangent(c), _edges_to_rows_multi_impl(c, g, "sum_all", interpret)
+
+
+_r2e_multi_d.defvjp(_r2em_fwd, _r2em_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _e2r_sum_multi_d(interpret, c, e_vals):
+    return _edges_to_rows_multi_impl(c, e_vals, "sum", interpret)
+
+
+def _e2rm_fwd(interpret, c, e_vals):
+    return _edges_to_rows_multi_impl(c, e_vals, "sum", interpret), c
+
+
+def _e2rm_bwd(interpret, c, g):
+    de = _rows_to_edges_multi_impl(c, g, interpret)
+    de = jnp.where((c.weight != 0.0).reshape(-1)[:, None], de, 0.0)
+    return zero_cotangent(c), de
+
+
+_e2r_sum_multi_d.defvjp(_e2rm_fwd, _e2rm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _e2r_max_multi_d(interpret, c, e_vals):
+    return _edges_to_rows_multi_impl(c, e_vals, "max", interpret)
+
+
+def _e2rmaxm_fwd(interpret, c, e_vals):
+    return _edges_to_rows_multi_impl(c, e_vals, "max", interpret), c
+
+
+def _e2rmaxm_bwd(interpret, c, g):
+    # softmax stability shift: zero gradient by construction
+    return zero_cotangent(c), jnp.zeros(
+        (c.n_chunk_meta * c.eb, g.shape[-1]), jnp.float32)
+
+
+_e2r_max_multi_d.defvjp(_e2rmaxm_fwd, _e2rmaxm_bwd)
+
+
+def rows_to_edges_multi(c: ChunkedCSR, v, interpret=None) -> jax.Array:
+    """[n_rows, H] -> per-edge [n_chunk_meta*EB, H] in ONE launch (all heads)."""
+    if interpret is None:
+        interpret = c.interpret
+    return _r2e_multi_d(interpret, c, v)
+
+
+def edge_softmax_chunked_multi(c: ChunkedCSR, scores: jax.Array,
+                               interpret=None) -> jax.Array:
+    """All-heads per-destination softmax in FOUR kernel launches total."""
+    if interpret is None:
+        interpret = c.interpret
+    valid = (c.weight != 0.0).reshape(-1)[:, None]
+    mx = _e2r_max_multi_d(interpret, c, scores)            # [n_rows, H]
+    mx = jnp.where(mx <= NEG / 2, 0.0, mx)
+    mxe = _r2e_multi_d(interpret, c, mx)                   # [E, H]
+    ex = jnp.where(valid, jnp.exp(scores.astype(jnp.float32) - mxe), 0.0)
+    den = _e2r_sum_multi_d(interpret, c, ex)               # [n_rows, H]
+    dene = _r2e_multi_d(interpret, c, den)
+    return ex / jnp.maximum(dene, 1e-16)

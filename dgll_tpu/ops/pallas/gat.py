@@ -177,19 +177,18 @@ def gat_attention_chunked_multihead(
     sc_src = jnp.einsum("ehf,hf->eh", msg_hf, a_src.astype(msg.dtype))
     sc_src = jnp.pad(sc_src, ((0, (nm - nc) * c.eb), (0, 0)))  # metadata layout
     s_dst = jnp.einsum("nhf,hf->nh", h.reshape(-1, n_heads, f), a_dst.astype(h.dtype))
-    # dst-score broadcast + softmax ride the chunk kernels (edge_ops.py) —
-    # the XLA take/segment forms cost ~10x on TPU (gat_profile_r4.json)
+    # dst-score broadcast + softmax ride the chunk kernels (edge_ops.py),
+    # all heads batched per launch — the XLA take/segment forms cost ~10x on
+    # TPU and per-head launches are grid-overhead-bound (gat_profile_r4.json)
     from dgll_tpu.ops.pallas.edge_ops import (
-        edge_softmax_chunked_fast,
-        rows_to_edges_d,
+        edge_softmax_chunked_multi,
+        rows_to_edges_multi,
     )
 
-    sc_dst = jnp.stack(
-        [rows_to_edges_d(c, s_dst[:, hh], interpret).reshape(-1)
-         for hh in range(n_heads)], axis=-1)               # [Emeta, H]
+    sc_dst = rows_to_edges_multi(c, s_dst, interpret)      # [Emeta, H]
     e = sc_src + sc_dst
     e = jnp.where(e > 0, e, negative_slope * e)
-    alpha = edge_softmax_chunked_fast(c, e, interpret)     # [Emeta, H]
+    alpha = edge_softmax_chunked_multi(c, e, interpret)    # [Emeta, H]
 
     msg_w = (msg_hf * alpha[:e_rows, :, None].astype(msg.dtype)).reshape(e_rows, -1)
     out = spmm_msg(c, ct, msg_w, interpret)                # one launch, width H*F

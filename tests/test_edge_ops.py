@@ -100,3 +100,48 @@ def test_rows_to_edges_d_gradient(layout):
     want = np.zeros(c.n_rows, np.float64)
     np.add.at(want, dstg.reshape(-1), np.asarray(t).reshape(-1))
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-4, atol=1e-4)
+
+
+class TestMultiHead:
+    """All-heads-per-launch variants must match the per-head versions exactly."""
+
+    def test_rows_to_edges_multi(self, layout):
+        from dgll_tpu.ops.pallas.edge_ops import rows_to_edges_multi
+
+        c, dstg, valid = layout
+        H = 5
+        v = np.random.default_rng(7).standard_normal(
+            (c.n_rows, H)).astype(np.float32)
+        got = np.asarray(rows_to_edges_multi(c, jnp.asarray(v), interpret=True))
+        for h in range(H):
+            want = v[:, h][dstg]
+            want[c.n_chunk:] = 0.0
+            np.testing.assert_allclose(got[:, h].reshape(dstg.shape), want,
+                                       rtol=1e-6)
+
+    def test_softmax_multi_matches_segment(self, layout):
+        from dgll_tpu.ops.pallas.edge_ops import edge_softmax_chunked_multi
+
+        c, dstg, valid = layout
+        H = 3
+        s = np.random.default_rng(8).standard_normal(
+            (dstg.size, H)).astype(np.float32)
+        got = np.asarray(edge_softmax_chunked_multi(c, jnp.asarray(s),
+                                                    interpret=True))
+        want = np.asarray(edge_softmax_chunked_heads(c, jnp.asarray(s)))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    def test_softmax_multi_gradients(self, layout):
+        from dgll_tpu.ops.pallas.edge_ops import edge_softmax_chunked_multi
+
+        c, dstg, valid = layout
+        H = 2
+        rng = np.random.default_rng(9)
+        s = jnp.asarray(rng.standard_normal((dstg.size, H)).astype(np.float32))
+        t = jnp.asarray(rng.standard_normal((dstg.size, H)).astype(np.float32))
+        g_fast = jax.grad(lambda x: jnp.sum(
+            edge_softmax_chunked_multi(c, x, interpret=True) * t))(s)
+        g_ref = jax.grad(lambda x: jnp.sum(
+            edge_softmax_chunked_heads(c, x) * t))(s)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   rtol=5e-4, atol=5e-5)
