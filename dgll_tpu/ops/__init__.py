@@ -34,3 +34,4 @@ from dgll_tpu.ops.windowed import (
     hybrid_to_device,
     spmm_windowed_xla,
 )
+from dgll_tpu.ops.pallas.spmm_windowed import spmm_hybrid, spmm_windowed_pallas
