@@ -489,6 +489,16 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
 
         from dgll_tpu.train.trainer import create_train_state
 
+        # Large full-batch graphs on TPU: attach the compiled SpMM layouts so
+        # GCN aggregation rides the kernels — the windowed (gather-free) pair
+        # when the graph has source locality, else the classic chunked pair
+        # (dispatch per layer width; non-128-multiple widths fall back to COO).
+        if (jax.default_backend() == "tpu" and g.n_real_edge >= 100_000
+                and cfg.nhid % 128 == 0):
+            g = g.with_windowed().with_chunked()
+            extra["spmm_kernel"] = ("windowed_hybrid" if g.hybrid is not None
+                                    else "classic_chunked")
+
         tr = FullBatchTrainer(model, tx, seed=trial_seed)
         state0 = None
         if cfg.resume and cfg.checkpoint_dir:
