@@ -432,6 +432,9 @@ void dgll_sample_block_fused(const int64_t* indptr, const int64_t* nbrs,
                 // reproduce the same sample on any core count (and match the
                 // single-thread path). Rng init is two splitmix64 rounds, noise
                 // next to the fanout loop's gather work.
+                // 0x85ebca6b9 is intentional (odd 36-bit multiplier, not
+                // murmur3's 0x85ebca6b): recorded artifacts/tests depend on
+                // this stream, so it must not change.
                 Rng rng(seed * 0x100000001b3ULL + (uint64_t)k * 0x9e3779b9ULL +
                         (uint64_t)i * 0x85ebca6b9ULL);
                 const int64_t v = ids[i];

@@ -157,7 +157,8 @@ class Graph:
         path, the layouts are NOT attached (the classic gather kernel is the
         better program there — measured in spmm_tpu_r4.json) and the graph is
         returned unchanged; callers can check ``g.hybrid is not None``.
-        Also attaches the classic layouts if missing (residual/backward use)."""
+        NOTE: this does NOT attach the classic chunked layouts — chain
+        ``.with_chunked()`` for the GAT/non-hybrid fallback paths (run.py does)."""
         from dgll_tpu.ops.windowed import build_hybrid_pair
 
         src = np.asarray(self.src)[: self.n_real_edge]

@@ -22,11 +22,14 @@ Design (TPU-first, all static shapes):
   grid. Drawing edges and keeping their columns reproduces the exact LADIES
   column marginal ``p_j ∝ Σ_{i∈prev} L²[i, j]`` without ever materialising a
   length-N probability vector on device.
-* Draws are **with replacement** (the jit-friendly form); the estimator
-  multiplies each kept edge by the column's draw multiplicity and rescales by
-  ``1/(s·p_j)``, which is the textbook unbiased FastGCN estimator. (The host
-  samplers draw without replacement like the reference; the two agree in
-  expectation — tested in ``tests/test_device_layerwise.py``.)
+* Draws are **with replacement** (the jit-friendly form); drawn-only columns
+  are rescaled by ``mult/(s·p_j)`` (the textbook unbiased FastGCN estimator),
+  while previous-layer columns — included deterministically — keep their exact
+  Laplacian weight (*defensive* importance sampling: unbiased AND bounded; the
+  naive everything-rescaled form amplifies exact columns by 1/(s·p_j) and is
+  what the reference's code computes-then-discards, see ``_layer``). The host
+  samplers use the same weighting — agreement tested in
+  ``tests/test_device_layerwise.py``.
 * Blocks are :class:`~dgll_tpu.sampling.base.WeightedBlock`: every destination
   keeps its K window slots, each mapped to a source slot of
   ``src_ids = [prev | drawn]`` (first match wins, so previous-layer columns are
@@ -135,7 +138,15 @@ def alias_draw(lap: DeviceLap, key: jax.Array, s: int) -> jax.Array:
 
 def _layer(lap: DeviceLap, prev_ids, prev_mask, s: int, key, mode: str
            ) -> WeightedBlock:
-    """One layer-wise sampling layer: draw s columns, build the weighted block."""
+    """One layer-wise sampling layer: draw s columns, build the weighted block.
+
+    Memory note: the slot-matching compare materialises an
+    ``[n_prev*K, n_prev+s]`` boolean matrix (LADIES adds an ``[s, n_prev*K]``
+    CDF compare) — O(n_prev²·K) growth with the frontier. Fine at the
+    benchmarked sizes (b=1024, s≤4096, K=32 → ~0.7 GB peak inside the scan);
+    very large batch×layer-size×K products will exhaust HBM — shrink K or the
+    layer sizes rather than the batch (the compare scales linearly in K).
+    """
     n_prev = int(prev_ids.shape[0])
     K = lap.k
     safe = jnp.where(prev_mask, prev_ids, 0).astype(jnp.int32)
@@ -177,8 +188,19 @@ def _layer(lap: DeviceLap, prev_ids, prev_mask, s: int, key, mode: str
         colw = jnp.einsum("eu,e->u", m.astype(jnp.float32), w2)          # [n_src]
         pcol = jnp.take(colw, uslot) / tot
 
+    # Defensive importance sampling: previous-layer columns are included
+    # DETERMINISTICALLY, so they take their exact Laplacian weight; only
+    # drawn-only columns carry the 1/(s·p_j) rescale (x draw multiplicity).
+    # The reference computes a 1/(p·s) rescale for every kept column — batch
+    # nodes included — but then DROPS the values when building its DGL block
+    # (MQFastGCN.py:82 passes values=[], so GraphConv renormalizes); keeping
+    # the naive rescale on exact-inclusion columns amplifies them by
+    # 1/(s·p_j) >> 1 and blows the loss scale (the r4 `loss 18615` artifact).
+    # This estimator stays unbiased: E[Σ] = Σ_{j∈prev} L_ij x_j
+    # + Σ_{j∉prev} L_ij x_j (E[mult_j] = s·p_j cancels the rescale).
     scale = 1.0 / jnp.maximum(pcol * float(s), 1e-12)
-    w = vals.reshape(-1) * mult * scale * hit.astype(jnp.float32)
+    est = jnp.where(is_prev, 1.0, mult * scale)
+    w = vals.reshape(-1) * est * hit.astype(jnp.float32)
     return WeightedBlock(
         dst_ids=prev_ids.astype(jnp.int32),
         src_ids=src_ids,

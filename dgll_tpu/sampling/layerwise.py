@@ -138,11 +138,22 @@ class LayerWiseSampler(BaseSampler):
                 src_ids, src_mask = _pad_ids(np.unique(cand), s)
                 self_at_head = False
 
-            # Q = L[prev, :][:, src], columns rescaled by 1 / (p_j * s)
+            # Q = L[prev, :][:, src]; drawn-only columns rescaled by
+            # 1/(p_j·s), deterministically-included prev columns kept exact
+            # (defensive importance sampling — unbiased with bounded weights).
+            # The reference computes the rescale for EVERY kept column but
+            # then drops the values when building its DGL block
+            # (MQFastGCN.py:82: create_block(..., values=[]) — GraphConv
+            # renormalizes), so the naive form never actually trains there;
+            # here the weights are real, and rescaling exact-inclusion columns
+            # by 1/(s·p_j) >> 1 would blow the loss scale.
             real_src = src_ids[src_mask]
             pfull = p / max(p.sum(), 1e-30)
             Q = self.lap[prev_real][:, real_src].tocoo()
             scale = 1.0 / np.maximum(pfull[real_src[Q.col]] * s, 1e-12)
+            if self.include_seeds:
+                in_prev = np.isin(real_src[Q.col], prev_real)
+                scale = np.where(in_prev, 1.0, scale)
             data = Q.data * scale
             src_pos = np.nonzero(src_mask)[0]  # local slot of each real src column
 

@@ -414,6 +414,7 @@ class MiniBatchTrainer:
         t0 = time.perf_counter()
         if group > 1:
             buf = []
+            nb = None  # device scalar once set; None-check only (no == on jax.Array)
 
             def flush(state, total, nb):
                 ids_g = np.stack([b[0] for b in buf])
@@ -422,10 +423,11 @@ class MiniBatchTrainer:
                 state, lsum, nvalid = step(state, jnp.asarray(ids_g),
                                            jnp.asarray(mask_g), features,
                                            labels, drng)
-                # accumulate on DEVICE — a float() here would sync every group
-                # and re-serialize the dispatch pipeline
+                # accumulate on DEVICE — a float() (or any truthiness test of a
+                # device scalar) here would sync every group and re-serialize
+                # the dispatch pipeline
                 total = lsum if total is None else total + lsum
-                nb = nvalid if nb is None or nb == 0 else nb + nvalid
+                nb = nvalid if nb is None else nb + nvalid
                 return state, total, nb
 
             for ids, mask in loader:
