@@ -52,6 +52,11 @@ class Graph:
     # Optional window-fused layouts (ops/windowed.py); built by ``with_windowed``.
     hybrid: Optional[Any] = None      # HybridCSR of A (windowed + residual)
     hybrid_t: Optional[Any] = None    # HybridCSR of A^T
+    # Set when the graph was relabeled for kernel locality (parallel/reorder.py):
+    # node_perm[new_id] == original id. Features/labels/masks are permuted
+    # consistently, so training/metrics need no mapping; per-node outputs in
+    # original id space are out[argsort(node_perm)].
+    node_perm: Optional[Any] = None   # [n_real_node] int64
 
     # Static metadata (not traced).
     n_node: int = struct.field(pytree_node=False, default=0)
@@ -150,29 +155,49 @@ class Graph:
         return self.replace(chunked=c, chunked_t=ct)
 
     def with_windowed(self, eb: int = 512, min_fill: float = 0.25,
-                      min_fraction: float = 0.5) -> "Graph":
+                      min_fraction: float = 0.5, reorder: bool = False) -> "Graph":
         """Attach the round-4 window-fused SpMM layouts (``ops/windowed.py``):
         the gather-free kernel for locality-bearing (clustered / COG-reordered)
         graphs. If fewer than ``min_fraction`` of the edges land on the windowed
         path, the layouts are NOT attached (the classic gather kernel is the
         better program there — measured in spmm_tpu_r4.json) and the graph is
         returned unchanged; callers can check ``g.hybrid is not None``.
+
+        ``reorder=True`` manufactures locality first when the graph lacks it in
+        id space: a cheap capture estimate gates a community/RCM/degree
+        relabeling pass (``parallel/reorder.py``; the reference's COG
+        preprocessing thesis, ``cog.py:31-45``). The returned graph is then the
+        PERMUTED graph (features/labels/masks permuted consistently;
+        ``node_perm`` maps back) — training on it is exact.
+
         NOTE: this does NOT attach the classic chunked layouts — chain
         ``.with_chunked()`` for the GAT/non-hybrid fallback paths (run.py does)."""
         from dgll_tpu.ops.windowed import build_hybrid_pair
 
-        src = np.asarray(self.src)[: self.n_real_edge]
-        dst = np.asarray(self.dst)[: self.n_real_edge]
+        g = self
+        if reorder:
+            from dgll_tpu.parallel.reorder import (
+                estimate_windowed_fraction,
+                reorder_for_locality,
+            )
+
+            src0 = np.asarray(g.src)[: g.n_real_edge]
+            dst0 = np.asarray(g.dst)[: g.n_real_edge]
+            if estimate_windowed_fraction(src0, dst0, min_fill) < min_fraction:
+                g, _ = reorder_for_locality(g, min_fill=min_fill)
+
+        src = np.asarray(g.src)[: g.n_real_edge]
+        dst = np.asarray(g.dst)[: g.n_real_edge]
         w = (
             None
-            if self.edge_weight is None
-            else np.asarray(self.edge_weight)[: self.n_real_edge]
+            if g.edge_weight is None
+            else np.asarray(g.edge_weight)[: g.n_real_edge]
         )
-        h, ht = build_hybrid_pair(src, dst, self.n_real_node, self.n_real_node,
+        h, ht = build_hybrid_pair(src, dst, g.n_real_node, g.n_real_node,
                                   w, eb, min_fill)
         if min(h.windowed_fraction, ht.windowed_fraction) < min_fraction:
-            return self
-        return self.replace(hybrid=h, hybrid_t=ht)
+            return self  # decline: keep the caller's graph (and id space) as-is
+        return g.replace(hybrid=h, hybrid_t=ht)
 
     def to_device(self, device=None) -> "Graph":
         """Move all array leaves to device (one batched transfer)."""

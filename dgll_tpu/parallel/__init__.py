@@ -9,6 +9,11 @@ from dgll_tpu.parallel.community import (
     save_community_book,
     split_oversized,
 )
+from dgll_tpu.parallel.reorder import (
+    estimate_windowed_fraction,
+    permute_graph,
+    reorder_for_locality,
+)
 from dgll_tpu.parallel.dp import (
     ShardedDataLoader,
     make_async_dp_block_step,

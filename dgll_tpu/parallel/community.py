@@ -140,35 +140,16 @@ def relabel_communities(g: Graph, part_of: np.ndarray) -> Tuple[Graph, Dict]:
     Returns the reordered Graph (features/labels/masks permuted, edges remapped)
     and the community book ``{cid: [start, end)}``.
     """
-    n = g.n_real_node
+    from dgll_tpu.parallel.reorder import permute_graph
+
     order = np.argsort(part_of, kind="stable")  # nodes grouped by community
-    new_id = np.empty(n, np.int64)
-    new_id[order] = np.arange(n)
 
     ids, counts = np.unique(part_of, return_counts=True)
     starts = np.zeros(len(ids) + 1, np.int64)
     starts[1:] = np.cumsum(counts)
     book = {int(c): [int(starts[i]), int(starts[i + 1])] for i, c in enumerate(ids)}
 
-    from dgll_tpu import native
-
-    src = native.remap(new_id, np.asarray(g.src)[: g.n_real_edge])
-    dst = native.remap(new_id, np.asarray(g.dst)[: g.n_real_edge])
-    ew = None if g.edge_weight is None else np.asarray(g.edge_weight)[: g.n_real_edge]
-
-    def _perm(x):
-        return None if x is None else np.asarray(x)[:n][order]
-
-    g2 = Graph.from_edges(
-        src, dst, n,
-        edge_weight=ew,
-        node_feat=_perm(g.node_feat),
-        labels=_perm(g.labels),
-        train_mask=_perm(g.train_mask),
-        val_mask=_perm(g.val_mask),
-        test_mask=_perm(g.test_mask),
-    )
-    return g2, book
+    return permute_graph(g, order), book
 
 
 def run_cog(

@@ -493,11 +493,18 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
         # GCN aggregation rides the kernels — the windowed (gather-free) pair
         # when the graph has source locality, else the classic chunked pair
         # (dispatch per layer width; non-128-multiple widths fall back to COO).
+        # reorder=True manufactures the locality first when it exists but not
+        # in id space (community/RCM/degree relabel, parallel/reorder.py — the
+        # reference's COG preprocessing applied to the kernel layout).
         if (jax.default_backend() == "tpu" and g.n_real_edge >= 100_000
                 and cfg.nhid % 128 == 0):
-            g = g.with_windowed().with_chunked()
+            t_pre = time.perf_counter()
+            g = g.with_windowed(reorder=True).with_chunked()
             extra["spmm_kernel"] = ("windowed_hybrid" if g.hybrid is not None
                                     else "classic_chunked")
+            extra["layout_preprocess_s"] = time.perf_counter() - t_pre
+            if g.node_perm is not None:
+                extra["locality_reordered"] = True
 
         tr = FullBatchTrainer(model, tx, seed=trial_seed)
         state0 = None
