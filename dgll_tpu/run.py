@@ -102,6 +102,25 @@ def _device_sampling_graph(cfg, g, log):
     return build_device_lap(g, k=32, flatten=cfg.flatten), sizes
 
 
+def _exact_test_pred(cfg, model, params, g, feats, test_nodes):
+    """Final-test predictions via full-neighborhood inference (--exact_eval).
+
+    One compiled full-graph forward with the minibatch-trained params
+    (``train/exact_infer.py``) — the reference's full-graph eval mode
+    (``gcnconv.py:53-58``) — so reported accuracy carries no sampling noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgll_tpu.train.exact_infer import exact_predict
+
+    feat_dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(cfg.dtype)
+    glight = g.replace(node_feat=None, labels=None, train_mask=None,
+                       val_mask=None, test_mask=None)
+    gd = jax.tree.map(jnp.asarray, glight)
+    return exact_predict(model.apply, params, gd, feats, test_nodes,
+                         feat_dtype=feat_dtype)
+
+
 def _maybe_restore_params(cfg, params):
     """``--resume``: load the latest checkpointed params over the fresh init.
 
@@ -302,8 +321,12 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
             if cfg.n_stops and bad >= cfg.n_stops:
                 break
         test_nodes = np.asarray(g.get_test_nodes(), np.int64)
-        pred = runner.predict_nodes(state, feats_d, test_nodes,
-                                    seed=trial_seed + 2)
+        if cfg.exact_eval:
+            pred = _exact_test_pred(cfg, model, state.params, g, feats_d,
+                                    test_nodes)
+        else:
+            pred = runner.predict_nodes(state, feats_d, test_nodes,
+                                        seed=trial_seed + 2)
         y = labels_np[test_nodes]
         return {
             "test_acc": float((pred == y).mean()) if len(pred) else 0.0,
@@ -314,6 +337,7 @@ def _run_dp_trial(cfg, g, trial_seed: int, model, tx, timer, log,
             "extra": {"n_devices": D, "async_dp": False,
                       "device_sampling": True,
                       "window_sampling": bool(cfg.window_sampling),
+                      "exact_eval": bool(cfg.exact_eval),
                       "resumed_from": resumed},
         }
 
@@ -608,14 +632,19 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
                 if cfg.n_stops and bad >= cfg.n_stops:
                     break
             test_nodes = np.asarray(g.get_test_nodes(), np.int64)
-            pred = runner.predict_nodes(state, feats, test_nodes,
-                                        seed=trial_seed + 2)
+            if cfg.exact_eval:
+                pred = _exact_test_pred(cfg, model, state.params, g, feats,
+                                        test_nodes)
+            else:
+                pred = runner.predict_nodes(state, feats, test_nodes,
+                                            seed=trial_seed + 2)
             y = labels_np[test_nodes]
             test_acc = float((pred == y).mean()) if len(pred) else 0.0
             f1 = micro_f1(pred, y)
             final_params = state.params
             extra["device_sampling"] = True
             extra["window_sampling"] = bool(cfg.window_sampling)
+            extra["exact_eval"] = bool(cfg.exact_eval)
             return _finalize_trial(cfg, timer, t_start, extra, test_acc, f1,
                                    best_val, n_epochs_run, final_params)
 
@@ -669,9 +698,18 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
             log.info(f"epoch {epoch} loss {loss:.4f} val {val:.4f} ({dt:.2f}s)")
             if cfg.n_stops and bad >= cfg.n_stops:
                 break
-        test_loader = DataLoader(g, g.get_test_nodes(), sampler, cfg.batch_size,
-                                 shuffle=False, seed=trial_seed + 2)
-        pred, y = tr.predict_nodes(state, test_loader, feats, labels, fetch_fn=fetch)
+        if cfg.exact_eval:
+            test_nodes = np.asarray(g.get_test_nodes(), np.int64)
+            pred = _exact_test_pred(cfg, model, state.params, g, feats,
+                                    test_nodes)
+            y = np.asarray(g.labels)[test_nodes]
+            extra["exact_eval"] = True
+        else:
+            test_loader = DataLoader(g, g.get_test_nodes(), sampler,
+                                     cfg.batch_size, shuffle=False,
+                                     seed=trial_seed + 2)
+            pred, y = tr.predict_nodes(state, test_loader, feats, labels,
+                                       fetch_fn=fetch)
         test_acc = float((pred == y).mean()) if len(pred) else 0.0
         f1 = micro_f1(pred, y)
         final_params = state.params

@@ -365,6 +365,26 @@ class DeviceEpochRunner:
         pred = self.predict_nodes(state, feats, nodes, seed)
         return float((pred == np.asarray(labels_np)[nodes]).mean())
 
+    # -- exact (full-neighborhood) inference --------------------------------
+    def predict_nodes_exact(self, state: TrainState, graph, feats, nodes):
+        """Sampling-noise-free predictions: one compiled FULL-GRAPH forward
+        with the minibatch-trained params (``train/exact_infer.py``; the eval
+        mode the reference's full-graph models use, ref ``gcnconv.py:53-58``).
+        ``graph`` is the full :class:`~dgll_tpu.graph.Graph` (device-resident;
+        attach chunked/windowed layouts for kernel-path aggregation)."""
+        from dgll_tpu.train.exact_infer import exact_predict
+
+        return exact_predict(self.model.apply, state.params, graph, feats,
+                             nodes, feat_dtype=self._feat_dtype)
+
+    def evaluate_nodes_exact(self, state: TrainState, graph, feats, labels_np,
+                             nodes) -> float:
+        nodes = np.asarray(nodes, np.int64)
+        if len(nodes) == 0:
+            return 0.0
+        pred = self.predict_nodes_exact(state, graph, feats, nodes)
+        return float((pred == np.asarray(labels_np)[nodes]).mean())
+
 
 class DeviceDPEpochRunner(DeviceEpochRunner):
     """Data-parallel :class:`DeviceEpochRunner`: per-device on-device sampling +

@@ -46,6 +46,9 @@ class TrainConfig:
                                     # speed mode — within-node draws share one 128-lane
                                     # CSR window, so they are correlated, a deviation
                                     # from the reference's i.i.d. uniform sampling)
+    exact_eval: bool = False        # final test metric via full-neighborhood
+                                    # inference (train/exact_infer.py) instead
+                                    # of the sampled sweep
     seed: int = 0
     dtype: str = "float32"
     checkpoint_dir: Optional[str] = None
@@ -97,6 +100,7 @@ def add_train_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
              "epochs at products scale). Within-node draws are correlated — a "
              "statistical deviation from exact i.i.d. neighbor sampling; "
              "convergence parity evidence: benchmarks/results/window_ab_r4.json")
+    p.add_argument("--exact_eval", action="store_true")
     p.add_argument("--no_window_sampling", dest="window_sampling",
                    action="store_false", help="exact per-slot i.i.d. draws (default)")
     p.add_argument("--seed", type=int, default=d.seed)
