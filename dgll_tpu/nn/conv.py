@@ -141,10 +141,7 @@ class GATConv(nn.Module):
         ):
             import math
 
-            from dgll_tpu.ops.pallas.gat import (
-                gat_attention_chunked,
-                gat_attention_chunked_multihead,
-            )
+            from dgll_tpu.ops.pallas.gat import gat_attention_chunked_fused
 
             lane_per_head = 128 // math.gcd(H, 128)
             f_pad = -(-F // lane_per_head) * lane_per_head
@@ -158,17 +155,12 @@ class GATConv(nn.Module):
             hp = hp.reshape(x.shape[0], H * f_pad)
             if hp.shape[0] < c.n_rows:
                 hp = jnp.pad(hp, ((0, c.n_rows - hp.shape[0]), (0, 0)))
-            if H == 1:
-                out = gat_attention_chunked(
-                    c, g.chunked_t, hp, a_s[0].astype(hp.dtype),
-                    a_d[0].astype(hp.dtype), self.negative_slope, interpret,
-                )[:n_dst, None, :f_pad]
-            else:
-                out = gat_attention_chunked_multihead(
-                    c, g.chunked_t, hp, a_s.astype(hp.dtype), a_d.astype(hp.dtype),
-                    self.negative_slope, interpret,
-                )[:n_dst]
-            out = out[..., :F]
+            # round-5 fused path: 3 launches fwd / 4 bwd for ANY head count
+            # (was 6 fwd via broadcast + 4-launch softmax + scatter)
+            out = gat_attention_chunked_fused(
+                c, g.chunked_t, hp, a_s.astype(hp.dtype), a_d.astype(hp.dtype),
+                self.negative_slope, interpret,
+            )[:n_dst, :, :F]
             if self.concat_heads:
                 return out.reshape(n_dst, H * F)
             return out.mean(axis=1)

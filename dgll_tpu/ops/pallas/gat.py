@@ -149,6 +149,37 @@ def gat_attention_chunked(
     return spmm_dyn(c, ct, msg, alpha.reshape(nm, c.eb), interpret)
 
 
+def gat_attention_chunked_fused(
+    c: ChunkedCSR,
+    ct: ChunkedCSR,
+    h: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    negative_slope: float = 0.2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Round-5 fused sparse GAT: 3 launches fwd / 4 bwd (``gat_fused.py``).
+
+    ``h [n_rows, H*F]`` (projected, row-padded), ``a_src``/``a_dst`` [H, F].
+    One gather; scores' dst-broadcast + the 4-launch softmax collapse into one
+    online-stats sweep + one alpha pass. Returns ``[n_rows, H, F]``.
+    """
+    from dgll_tpu.ops.pallas.gat_fused import gat_attention_fused
+
+    n_heads, f = a_src.shape
+    nc, nm = c.n_chunk, c.n_chunk_meta
+    e_rows = nc * c.eb
+    msg = jnp.take(h, c.src[:nc].reshape(-1), axis=0)      # the one gather
+    msg_hf = msg.reshape(e_rows, n_heads, f)
+    sc_src = jnp.einsum("ehf,hf->eh", msg_hf,
+                        a_src.astype(msg.dtype)).astype(jnp.float32)
+    sc_src = jnp.pad(sc_src, ((0, (nm - nc) * c.eb), (0, 0)))
+    s_dst = jnp.einsum("nhf,hf->nh", h.reshape(-1, n_heads, f),
+                       a_dst.astype(h.dtype)).astype(jnp.float32)
+    return gat_attention_fused(c, ct, msg, sc_src, s_dst, negative_slope,
+                               interpret)
+
+
 def gat_attention_chunked_multihead(
     c: ChunkedCSR,
     ct: ChunkedCSR,

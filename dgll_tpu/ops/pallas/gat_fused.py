@@ -1,0 +1,307 @@
+"""Fused sparse GAT attention: scores + online softmax + aggregation in 3 launches.
+
+Round-4's GAT path composed five metadata-layout launches per layer around the
+aggregation (dst-score broadcast + 4-launch softmax: max-reduce, max-broadcast,
+sum-reduce, den-broadcast; ``ops/pallas/edge_ops.py``). At ~1.5 us/grid-step
+(measured, ``pallas_probe_r4.json``) and one grid step per chunk per launch,
+launches — not math — dominate GAT time. This module folds the whole
+pre-aggregation pipeline into TWO kernels and reuses the premultiplied-message
+scatter for the third:
+
+* ``gat_stats``  — ONE online-softmax sweep: builds the per-chunk hit matrix
+  once, forms the masked scores ``e = leaky(sc_src + s_dst[dst])`` in-register
+  ([R, EB] broadcast sum — the dst-score broadcast launch is gone), and
+  accumulates per-destination running max ``m`` and rescaled ``sum exp`` den
+  (flash-attention-style online update) into revisited [R, 1] output tiles.
+  This is the round-5 answer to "fold max/sub-exp/sum into a single revisiting
+  pass": the 4-launch softmax's reductions happen in ONE launch.
+* ``gat_alpha``  — normalisation as three MXU matvecs per head (``s_dst``,
+  ``m``, ``1/den`` brought to edges through the shared hit matrix), then
+  ``alpha = exp(leaky(z) - m_dst) * invden_dst`` on the VPU — no [R, EB]
+  materialisation, plus the leaky-gradient factor plane for the backward.
+* aggregation — the existing unit-weight chunked scatter over messages
+  premultiplied by ``alpha`` (``segment_matmul.spmm_chunked_pallas``).
+
+Backward (custom VJP) recomputes nothing: ``alpha`` and the leaky factors are
+forward residuals; 4 launches (g expand, ``sum alpha*dalpha`` reduce, its
+broadcast, ``d s_dst`` reduce) replace round-4's five plus the [E, H, F] XLA
+einsum chain. Reference: sparse GAT autograd ``/root/reference/dgll/nn/
+Convolution/gatconv.py:60-148`` (SpecialSpmmFunction + per-edge softmax).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dgll_tpu.ops.chunked import R_BLOCK, ChunkedCSR
+from dgll_tpu.ops.pallas.edge_ops import NEG, _e2r_sum_multi_d, _r2e_multi_d
+from dgll_tpu.ops.pallas.expand_rows import expand_rows_chunked
+from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked_pallas, zero_cotangent
+
+
+def _stats_kernel(rb_ref, dstl_ref, w_ref, *refs, H: int, slope: float):
+    # refs: sc_0..sc_{H-1} [8, EB] planes, sd_0..sd_{H-1} [R, 1] columns,
+    #       m_0.., den_0.. outputs [R, 1], then scratch accs (2H x [R, 1])
+    sc_refs = refs[:H]
+    sd_refs = refs[H:2 * H]
+    m_refs = refs[2 * H:3 * H]
+    den_refs = refs[3 * H:4 * H]
+    accm_refs = refs[4 * H:5 * H]
+    accd_refs = refs[5 * H:]
+
+    c = pl.program_id(0)
+    n_chunk = pl.num_programs(0)
+    rb = rb_ref[c]
+    is_first = jnp.logical_or(c == 0, rb_ref[jnp.maximum(c - 1, 0)] != rb)
+    is_last = jnp.logical_or(
+        c == n_chunk - 1, rb_ref[jnp.minimum(c + 1, n_chunk - 1)] != rb)
+    cm = c % 8
+    dstl = dstl_ref[pl.ds(cm, 1), :]                               # [1, EB]
+    eb = dstl.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, eb), 0)
+    hit = (rows == dstl) & (w_ref[pl.ds(cm, 1), :] != 0.0)         # [R, EB]
+
+    for h in range(H):
+        sc = sc_refs[h][pl.ds(cm, 1), :]                           # [1, EB]
+        sd = sd_refs[h][:]                                         # [R, 1]
+        z = sc + sd                                                # [R, EB]
+        e = jnp.where(z > 0, z, slope * z)
+        e = jnp.where(hit, e, NEG)
+        pmax = jnp.max(e, axis=1, keepdims=True)                   # [R, 1]
+
+        @pl.when(is_first)
+        def _(h=h, pmax=pmax, e=e, hit=hit):
+            accm_refs[h][:] = pmax
+            accd_refs[h][:] = jnp.sum(
+                jnp.where(hit, jnp.exp(e - pmax), 0.0), axis=1, keepdims=True)
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(h=h, pmax=pmax, e=e, hit=hit):
+            old_m = accm_refs[h][:]
+            new_m = jnp.maximum(old_m, pmax)
+            part = jnp.sum(
+                jnp.where(hit, jnp.exp(e - new_m), 0.0), axis=1, keepdims=True)
+            accd_refs[h][:] = accd_refs[h][:] * jnp.exp(old_m - new_m) + part
+            accm_refs[h][:] = new_m
+
+        @pl.when(is_last)
+        def _(h=h):
+            m_refs[h][:] = accm_refs[h][:]
+            den_refs[h][:] = accd_refs[h][:]
+
+
+def gat_stats(c: ChunkedCSR, sc_src: jax.Array, s_dst: jax.Array,
+              negative_slope: float = 0.2, interpret=None):
+    """Per-destination softmax stats in ONE online sweep.
+
+    ``sc_src [n_chunk_meta*EB, H]`` per-edge source scores (metadata layout),
+    ``s_dst [n_rows, H]`` per-destination scores. Returns ``(m, den)`` each
+    ``[n_rows, H]`` (m == NEG marker and den == 0 for edgeless rows).
+    """
+    if interpret is None:
+        interpret = c.interpret
+    H = sc_src.shape[-1]
+    nm, eb = c.n_chunk_meta, c.eb
+    sc_planes = [sc_src[:, h].reshape(nm, eb).astype(jnp.float32)
+                 for h in range(H)]
+    sd_cols = [s_dst[:, h:h + 1].astype(jnp.float32) for h in range(H)]
+
+    mspec = pl.BlockSpec((8, eb), lambda ci, rb: (ci // 8, 0))
+    colspec = pl.BlockSpec((R_BLOCK, 1), lambda ci, rb: (rb[ci], 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c.n_chunk,),
+        in_specs=[mspec, mspec] + [mspec] * H + [colspec] * H,
+        out_specs=tuple([colspec] * (2 * H)),
+        scratch_shapes=[pltpu.VMEM((R_BLOCK, 1), jnp.float32)
+                        for _ in range(2 * H)],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_stats_kernel, H=H, slope=float(negative_slope)),
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct((c.n_rows, 1), jnp.float32)
+                        for _ in range(2 * H)),
+        interpret=interpret,
+    )(c.row_block, c.dst_local, c.weight, *sc_planes, *sd_cols)
+    m = jnp.concatenate(outs[:H], axis=-1)
+    den = jnp.concatenate(outs[H:], axis=-1)
+    return m, den
+
+
+def _alpha_kernel(rb_ref, dstl_ref, w_ref, *refs, H: int, slope: float):
+    # refs: sc planes [H], then ROW-plane tiles for sd/m/invden ([8, R_BLOCK]
+    # each — full-lane [1, R] reads; Mosaic cannot transpose a [R, 1] column
+    # in-kernel), then alpha outs [H], lgrad outs [H]
+    sc_refs = refs[:H]
+    sd_refs = refs[H:2 * H]
+    m_refs = refs[2 * H:3 * H]
+    iv_refs = refs[3 * H:4 * H]
+    a_refs = refs[4 * H:5 * H]
+    lg_refs = refs[5 * H:]
+
+    c = pl.program_id(0)
+    cm = c % 8
+    rbm = rb_ref[c] % 8
+    dstl = dstl_ref[pl.ds(cm, 1), :]
+    eb = dstl.shape[1]
+    w = w_ref[pl.ds(cm, 1), :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, eb), 0)
+    hitf = ((rows == dstl) & (w != 0.0)).astype(jnp.float32)       # [R, EB]
+
+    def to_edges(row_ref):
+        # [1, R] @ [R, EB] -> [1, EB]: dst-indexed row value at each edge
+        return jnp.dot(row_ref[pl.ds(rbm, 1), :], hitf,
+                       preferred_element_type=jnp.float32)
+
+    valid = w != 0.0
+    for h in range(H):
+        sc = sc_refs[h][pl.ds(cm, 1), :]                           # [1, EB]
+        sd_e = to_edges(sd_refs[h])
+        m_e = to_edges(m_refs[h])
+        iv_e = to_edges(iv_refs[h])
+        z = sc + sd_e
+        lg = jnp.where(z > 0, 1.0, slope)
+        e = jnp.where(z > 0, z, slope * z)
+        # e <= m on hit edges; non-hit lanes masked to 0 (exp may overflow
+        # there — masked before any multiply, so no NaN can form)
+        a = jnp.where(valid, jnp.exp(jnp.minimum(e - m_e, 0.0)) * iv_e, 0.0)
+        a_refs[h][pl.ds(cm, 1), :] = a
+        lg_refs[h][pl.ds(cm, 1), :] = jnp.where(valid, lg, 0.0)
+
+
+def _row_planes(x, n_row_blocks, nrb8):
+    """[n_rows, H] -> H row-plane arrays [nrb8, R_BLOCK] (full-lane reads)."""
+    H = x.shape[-1]
+    return [
+        jnp.pad(x[:, h].reshape(n_row_blocks, R_BLOCK).astype(jnp.float32),
+                ((0, nrb8 - n_row_blocks), (0, 0)))
+        for h in range(H)
+    ]
+
+
+def gat_alpha(c: ChunkedCSR, sc_src, s_dst, m, den,
+              negative_slope: float = 0.2, interpret=None):
+    """Normalised attention + leaky-grad factor per edge slot.
+
+    Returns ``(alpha, lgrad)`` both ``[n_chunk_meta*EB, H]``."""
+    if interpret is None:
+        interpret = c.interpret
+    H = sc_src.shape[-1]
+    nm, eb = c.n_chunk_meta, c.eb
+    nrb8 = ((c.n_row_blocks + 7) // 8) * 8
+    sc_planes = [sc_src[:, h].reshape(nm, eb).astype(jnp.float32)
+                 for h in range(H)]
+    sd_rp = _row_planes(s_dst, c.n_row_blocks, nrb8)
+    m_rp = _row_planes(m, c.n_row_blocks, nrb8)
+    iv_rp = _row_planes(1.0 / jnp.maximum(den, 1e-16), c.n_row_blocks, nrb8)
+
+    mspec = pl.BlockSpec((8, eb), lambda ci, rb: (ci // 8, 0))
+    rpspec = pl.BlockSpec((8, R_BLOCK), lambda ci, rb: (rb[ci] // 8, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c.n_chunk,),
+        in_specs=[mspec, mspec] + [mspec] * H + [rpspec] * (3 * H),
+        out_specs=tuple([mspec] * (2 * H)),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_alpha_kernel, H=H, slope=float(negative_slope)),
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct((nm, eb), jnp.float32)
+                        for _ in range(2 * H)),
+        interpret=interpret,
+    )(c.row_block, c.dst_local, c.weight,
+      *sc_planes, *sd_rp, *m_rp, *iv_rp)
+    live = jnp.arange(nm)[:, None] < c.n_chunk
+    alpha = jnp.stack(
+        [jnp.where(live, o, 0.0).reshape(-1) for o in outs[:H]], axis=-1)
+    lgrad = jnp.stack(
+        [jnp.where(live, o, 0.0).reshape(-1) for o in outs[H:]], axis=-1)
+    return alpha, lgrad
+
+
+def _valid01(c: ChunkedCSR):
+    return (c.weight != 0).astype(jnp.float32)
+
+
+def _forward(c, ct, msg, sc_src, s_dst, negative_slope, interpret):
+    H = sc_src.shape[-1]
+    e_rows = c.n_chunk * c.eb
+    f = msg.shape[-1] // H
+    m, den = gat_stats(c, sc_src, s_dst, negative_slope, interpret)
+    alpha, lgrad = gat_alpha(c, sc_src, s_dst, m, den, negative_slope,
+                             interpret)
+    msg_w = (msg.reshape(e_rows, H, f)
+             * alpha[:e_rows].astype(msg.dtype)[:, :, None]).reshape(e_rows, -1)
+    out = spmm_chunked_pallas(c, msg_w, weights=_valid01(c),
+                              interpret=interpret)
+    return out, alpha, lgrad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gat_fused(negative_slope, interpret, c: ChunkedCSR, ct: ChunkedCSR,
+               msg, sc_src, s_dst):
+    out, _, _ = _forward(c, ct, msg, sc_src, s_dst, negative_slope, interpret)
+    return out
+
+
+def _gat_fwd(negative_slope, interpret, c, ct, msg, sc_src, s_dst):
+    out, alpha, lgrad = _forward(c, ct, msg, sc_src, s_dst, negative_slope,
+                                 interpret)
+    return out, (c, ct, msg, alpha, lgrad, s_dst.shape[0])
+
+
+def _gat_bwd(negative_slope, interpret, res, g):
+    c, ct, msg, alpha, lgrad, n_rows = res
+    H = alpha.shape[-1]
+    e_rows = c.n_chunk * c.eb
+    f = msg.shape[-1] // H
+
+    # d msg_w: per-edge destination rows of g (one expand launch)
+    g_edges = expand_rows_chunked(c, g.astype(msg.dtype), interpret=interpret)
+    a_e = alpha[:e_rows].astype(msg.dtype)[:, :, None]
+    g3 = g_edges.reshape(e_rows, H, f)
+    dmsg = (g3 * a_e).reshape(e_rows, -1)
+    dalpha = jnp.einsum("ehf,ehf->eh", g3.astype(jnp.float32),
+                        msg.reshape(e_rows, H, f).astype(jnp.float32))
+    dalpha = jnp.pad(dalpha, ((0, (c.n_chunk_meta - c.n_chunk) * c.eb), (0, 0)))
+
+    # softmax VJP: de = alpha * (dalpha - S[dst]),  S = sum_dst alpha*dalpha
+    S = _e2r_sum_multi_d(interpret, c, alpha * dalpha)          # [n_rows, H]
+    S_e = _r2e_multi_d(interpret, c, S)                         # [E_meta, H]
+    de = alpha * (dalpha - S_e)
+
+    dz = de * lgrad                                             # leaky' factor
+    dsc = dz                                                    # per-edge score grad
+    dsd = _e2r_sum_multi_d(interpret, c, dz)[:n_rows]           # [n_rows, H]
+    return (zero_cotangent(c), zero_cotangent(ct), dmsg, dsc, dsd)
+
+
+_gat_fused.defvjp(_gat_fwd, _gat_bwd)
+
+
+def gat_attention_fused(
+    c: ChunkedCSR,
+    ct: ChunkedCSR,
+    msg: jax.Array,
+    sc_src: jax.Array,
+    s_dst: jax.Array,
+    negative_slope: float = 0.2,
+    interpret=None,
+):
+    """Fused multi-head sparse GAT aggregation (differentiable).
+
+    ``msg [n_chunk*EB, H*F]`` gathered source rows, ``sc_src
+    [n_chunk_meta*EB, H]`` per-edge source scores, ``s_dst [n_rows, H]``
+    destination scores. Returns ``[n_rows, H, F]``. Three kernel launches
+    forward (stats, alpha, scatter), four backward.
+    """
+    if interpret is None:
+        interpret = c.interpret
+    H = sc_src.shape[-1]
+    out = _gat_fused(float(negative_slope), interpret, c, ct, msg, sc_src,
+                     s_dst)
+    return out.reshape(c.n_rows, H, -1)

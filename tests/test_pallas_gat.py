@@ -236,8 +236,8 @@ def test_multihead_kernel_grads_match_segment():
 
 def test_gatconv_8x8_heads_hits_kernel_and_matches_xla(monkeypatch):
     """The reference's canonical 8-head x 8-dim config (gatconv.py:174-199) must
-    reach the compiled kernel path (per-head features zero-padded to make H*F'
-    MXU-tileable) and agree with the XLA segment path (VERDICT r2 #4)."""
+    reach the compiled (r5 fused) kernel path (per-head features zero-padded to
+    make H*F' MXU-tileable) and agree with the XLA segment path."""
     from dgll_tpu.data import gcn_normalize, synthetic_classification_graph
     from dgll_tpu.nn.conv import GATConv
     import dgll_tpu.ops.pallas.gat as gatmod
@@ -247,13 +247,13 @@ def test_gatconv_8x8_heads_hits_kernel_and_matches_xla(monkeypatch):
     g = gcn_normalize(g).with_chunked(eb=128)
 
     calls = []
-    orig = gatmod.gat_attention_chunked_multihead
+    orig = gatmod.gat_attention_chunked_fused
 
     def spy(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    monkeypatch.setattr(gatmod, "gat_attention_chunked_multihead", spy)
+    monkeypatch.setattr(gatmod, "gat_attention_chunked_fused", spy)
 
     conv = GATConv(features=8, num_heads=8)  # H*F = 64, not 128-tileable raw
     x = jnp.asarray(np.asarray(g.node_feat))
@@ -268,8 +268,8 @@ def test_gatconv_8x8_heads_hits_kernel_and_matches_xla(monkeypatch):
 
 
 def test_gatconv_single_head_dispatches_single_head_kernel(monkeypatch):
-    """H=1 routes through gat_attention_chunked (the single-head kernel now has
-    a production caller — VERDICT r2 weak #7)."""
+    """H=1 routes through the fused kernel path (r5: one fused entry for all
+    head counts)."""
     from dgll_tpu.data import gcn_normalize, synthetic_classification_graph
     from dgll_tpu.nn.conv import GATConv
     import dgll_tpu.ops.pallas.gat as gatmod
@@ -279,13 +279,13 @@ def test_gatconv_single_head_dispatches_single_head_kernel(monkeypatch):
     g = gcn_normalize(g).with_chunked(eb=128)
 
     calls = []
-    orig = gatmod.gat_attention_chunked
+    orig = gatmod.gat_attention_chunked_fused
 
     def spy(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    monkeypatch.setattr(gatmod, "gat_attention_chunked", spy)
+    monkeypatch.setattr(gatmod, "gat_attention_chunked_fused", spy)
 
     conv = GATConv(features=48, num_heads=1, concat_heads=False)  # pads 48->128
     x = jnp.asarray(np.asarray(g.node_feat))
