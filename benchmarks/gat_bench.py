@@ -1,12 +1,15 @@
-"""GAT attention-layer benchmark: compiled Pallas kernel path vs XLA segment ops,
-on the real chip, with numerical agreement checked (VERDICT r2 #4).
+"""GAT attention-layer benchmark: r5 fused kernels vs the r4 per-stage kernels
+vs XLA segment ops, on the real chip, with numerical agreement checked.
 
 Measures the full sparse attention layer (scores -> edge softmax -> weighted
 aggregation) for multi-head configs including the reference's canonical
-8-head x 8-dim (``/root/reference/dgll/nn/Convolution/gatconv.py:174-199``),
-which reaches the kernel via per-head zero-padding.
+8-head x 8-dim (``/root/reference/dgll/nn/Convolution/gatconv.py:174-199``).
+Round-5 additions: the fused 3-launch path (``ops/pallas/gat_fused.py``) A/B'd
+against the round-4 6-launch path, and an ``eb=1024`` layout variant (half the
+grid steps — the measured ~1.5 us/step overhead is the dominant cost).
 
-Run on the TPU: ``python benchmarks/gat_bench.py``; env: GB_NODES, GB_DEG, GB_OUT.
+Run on the TPU: ``python benchmarks/gat_bench.py``; env: GB_NODES, GB_DEG,
+GB_OUT, GB_EB1024=0 to skip the eb sweep, GB_UNFUSED=0 to skip the r4 path.
 """
 import json
 import os
@@ -19,87 +22,112 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from timing import chain_time  # noqa: E402
 
 
+def bench_layer(conv, params, gc, x, tgt, label, results, key, jax, jnp,
+                ref=None):
+    def f_fwd(xi):
+        return conv.apply(params, gc, xi)[:, :1] * 0.01 + xi
+
+    got = np.asarray(conv.apply(params, gc, x), np.float64)
+    row = {"label": label}
+    if ref is not None:
+        max_rel = float(np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)))
+        # MXU default precision (bf16-input) + different op order: bf16 noise
+        row["matches_xla"] = bool(max_rel < 0.05)
+        row["max_rel_diff"] = round(max_rel, 5)
+
+    dt = chain_time(jax.jit(f_fwd), x)
+
+    def f_fb(xi):
+        def lo(xi_):
+            return jnp.vdot(conv.apply(params, gc, xi_), tgt)
+        return jax.grad(lo)(xi) * 1e-3 + xi
+
+    dt_fb = chain_time(jax.jit(f_fb), x)
+    n_edge = gc.n_real_edge
+    row.update({
+        "fwd_ms": round(dt * 1e3, 2),
+        "medges_per_s_fwd": round(n_edge / dt / 1e6, 1),
+        "fwd_bwd_ms": round(dt_fb * 1e3, 2),
+        "medges_per_s_fwd_bwd_2pass": round(2 * n_edge / dt_fb / 1e6, 1),
+    })
+    results[key] = row
+    print(f"{key}: fwd {dt*1e3:.2f} ms ({n_edge/dt/1e6:.1f} Me/s) "
+          f"fwd+bwd {dt_fb*1e3:.2f} ms", flush=True)
+    return dt, dt_fb, got
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    import dgll_tpu.ops.pallas.gat as gatmod
     from dgll_tpu.data import gcn_normalize, synthetic_classification_graph
     from dgll_tpu.nn.conv import GATConv
 
-    # scale bounded by the XLA baseline: its per-edge [E, H] score/alpha arrays
-    # lane-pad 8 -> 128 on TPU, so E is kept modest to fit the comparison in HBM
-    # (and remote-compile time: each fresh jit costs minutes on the relay)
     n_node = int(os.environ.get("GB_NODES", 20_000))
     avg_deg = int(os.environ.get("GB_DEG", 8))
     out_path = os.environ.get("GB_OUT", "")
+    do_eb1024 = os.environ.get("GB_EB1024", "1") == "1"
+    do_unfused = os.environ.get("GB_UNFUSED", "1") == "1"
+    do_xla = os.environ.get("GB_XLA", "1") == "1"
 
     g = synthetic_classification_graph(n_node=n_node, avg_degree=avg_deg,
                                        n_class=8, feat_dim=64, seed=0)
     g = gcn_normalize(g)
     gc = g.with_chunked(eb=512).to_device()
     gp = gc.replace(chunked=None, chunked_t=None)
+    gc1024 = g.with_chunked(eb=1024).to_device() if do_eb1024 else None
     x = jnp.asarray(np.asarray(g.node_feat))
 
     results = {"device": str(jax.devices()[0]), "n_node": n_node,
                "n_edge": g.n_real_edge}
 
-    for H, F, tag in ((8, 16, "8h x 16d (H*F=128)"), (8, 8, "8h x 8d (ref config, padded)")):
+    for H, F, tag in ((8, 16, "8h x 16d (H*F=128)"),
+                      (8, 8, "8h x 8d (ref config, padded)")):
         conv = GATConv(features=F, num_heads=H)
         params = conv.init(jax.random.key(0), gc, x)
-
-        # x feeds back (summed into a column) so chain_time's dependent chain works
-        def f_kernel(xi):
-            return conv.apply(params, gc, xi)[:, :1] * 0.01 + xi
-
-        def f_xla(xi):
-            return conv.apply(params, gp, xi)[:, :1] * 0.01 + xi
-
-        # agreement first (single eval, not chained). Both paths run their
-        # matmuls at the MXU's default (bf16-input, f32-accumulate) precision
-        # on TPU, in different operation orders, so agreement is asserted at
-        # bf16 noise level; exact-f32 logic parity is covered by the interpret
-        # -mode tests (tests/test_pallas_gat.py).
-        got = np.asarray(conv.apply(params, gc, x), np.float64)
-        ref = np.asarray(conv.apply(params, gp, x), np.float64)
-        max_rel = float(np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)))
-        ok = max_rel < 0.05
-
-        dt_k = chain_time(jax.jit(f_kernel), x)
-        dt_x = chain_time(jax.jit(f_xla), x)
-
-        # trained-through: fwd + custom-VJP bwd in one chained step (r4 ask)
         tgt = jnp.asarray(np.random.default_rng(2).standard_normal(
             (x.shape[0], H * F)).astype(np.float32))
+        base = f"gat_{H}h{F}d"
 
-        def f_kernel_fb(xi):
-            def lo(xi_):
-                return jnp.vdot(conv.apply(params, gc, xi_), tgt)
-            return jax.grad(lo)(xi) * 1e-3 + xi
+        ref = None
+        if do_xla:
+            dt_x, dt_xfb, ref = bench_layer(conv, params, gp, x, tgt,
+                                            tag + " XLA segment ops", results,
+                                            base + "_xla", jax, jnp)
+        dt_f, dt_ffb, _ = bench_layer(conv, params, gc, x, tgt,
+                                      tag + " fused (r5, eb=512)", results,
+                                      base + "_fused", jax, jnp, ref)
+        if do_xla:
+            results[base + "_fused"]["speedup_vs_xla"] = round(dt_x / dt_f, 2)
+            results[base + "_fused"]["fwd_bwd_speedup_vs_xla"] = round(
+                dt_xfb / dt_ffb, 2)
 
-        def f_xla_fb(xi):
-            def lo(xi_):
-                return jnp.vdot(conv.apply(params, gp, xi_), tgt)
-            return jax.grad(lo)(xi) * 1e-3 + xi
+        if gc1024 is not None:
+            dt_e, dt_efb, _ = bench_layer(conv, params, gc1024, x, tgt,
+                                          tag + " fused (r5, eb=1024)",
+                                          results, base + "_fused_eb1024",
+                                          jax, jnp, ref)
+            results[base + "_fused_eb1024"]["vs_eb512"] = round(dt_f / dt_e, 2)
 
-        dt_kfb = chain_time(jax.jit(f_kernel_fb), x)
-        dt_xfb = chain_time(jax.jit(f_xla_fb), x)
-        key = f"gat_{H}h{F}d"
-        results[key] = {
-            "label": tag,
-            "kernel_ms": round(dt_k * 1e3, 2),
-            "xla_ms": round(dt_x * 1e3, 2),
-            "speedup": round(dt_x / dt_k, 2),
-            "medges_per_s_kernel": round(g.n_real_edge / dt_k / 1e6, 1),
-            "fwd_bwd_kernel_ms": round(dt_kfb * 1e3, 2),
-            "fwd_bwd_xla_ms": round(dt_xfb * 1e3, 2),
-            "fwd_bwd_speedup": round(dt_xfb / dt_kfb, 2),
-            "medges_per_s_kernel_fwd_bwd_2pass": round(
-                2 * g.n_real_edge / dt_kfb / 1e6, 1),
-            "matches_xla": bool(ok),
-            "max_rel_diff": round(max_rel, 5),
-        }
-        print(f"{key} ({tag}): kernel {dt_k*1e3:.2f} ms vs XLA {dt_x*1e3:.2f} ms "
-              f"({dt_x/dt_k:.2f}x) agree={ok} max_rel={max_rel:.4f}", flush=True)
+        if do_unfused:
+            # round-4 path: monkeypatch the conv's fused entry to the 6-launch
+            # per-stage composition (same signature/return shape)
+            orig = gatmod.gat_attention_chunked_fused
+            gatmod.gat_attention_chunked_fused = (
+                lambda c, ct, hp, a_s, a_d, slope, interp:
+                gatmod.gat_attention_chunked_multihead(c, ct, hp, a_s, a_d,
+                                                       slope, interp))
+            try:
+                dt_u, dt_ufb, _ = bench_layer(conv, params, gc, x, tgt,
+                                              tag + " unfused (r4 path)",
+                                              results, base + "_unfused_r4",
+                                              jax, jnp, ref)
+            finally:
+                gatmod.gat_attention_chunked_fused = orig
+            results[base + "_fused"]["vs_unfused_r4"] = round(dt_u / dt_f, 2)
+            results[base + "_fused"]["fwd_bwd_vs_unfused_r4"] = round(
+                dt_ufb / dt_ffb, 2)
 
     print(json.dumps(results))
     if out_path:

@@ -324,6 +324,56 @@ class FullBatchTrainer:
         return state, hist
 
 
+def measure_link(device=None, size_bytes: int = 4 << 20) -> tuple:
+    """One-shot H2D link probe: ``(bandwidth_bytes_per_s, dispatch_rtt_s)``.
+
+    The reference hides its producer cost behind CUDA streams no matter what
+    that cost is (``buffer_queues.py:22-119``); on relay/remote-attached
+    devices the HOST->DEVICE link itself can be the bottleneck (measured
+    ~30 MB/s on the axon relay vs GB/s locally), and batching dispatches then
+    HURTS (epoch_products_r4: grouped path 4.4x slower). This probe feeds
+    :func:`choose_packed_group` so the runtime routes by measurement instead
+    of shipping a silently-regressing path.
+    """
+    import numpy as np
+
+    dev = device if device is not None else jax.devices()[0]
+    buf = np.ones(size_bytes // 4, np.float32)
+    jax.block_until_ready(jax.device_put(buf, dev))  # warm (allocator, path)
+    t0 = time.perf_counter()
+    x = jax.device_put(buf, dev)
+    float(jnp.sum(x[:8]))  # value read proves arrival (block_until_ready can lie)
+    bw = size_bytes / max(time.perf_counter() - t0, 1e-9)
+
+    one = jax.device_put(np.zeros(8, np.float32), dev)
+    f = jax.jit(lambda v: jnp.sum(v))
+    float(f(one))  # compile outside the timed window
+    t0 = time.perf_counter()
+    n = 4
+    for _ in range(n):
+        float(f(one))
+    rtt = (time.perf_counter() - t0) / n
+    return bw, rtt
+
+
+def choose_packed_group(payload_bytes: int, bandwidth: float, rtt: float,
+                        max_group: int = 8) -> int:
+    """Group size for the packed epoch, from measured link characteristics.
+
+    Grouping scans G batches per dispatch, saving ~(G-1) dispatch RTTs per
+    group — a win only when the fixed RTT dominates the per-batch H2D payload
+    time. On a bandwidth-bound link the payload time dwarfs the RTT, grouping
+    buys nothing and costs pipeline overlap (measured 4.4x regression on the
+    ~30 MB/s relay), so route to group=1 there.
+    """
+    transfer_s = payload_bytes / max(bandwidth, 1.0)
+    if transfer_s >= rtt:
+        return 1          # bandwidth-bound: RTT amortisation cannot win
+    # RTT-bound: amortise until the grouped payload time reaches ~1 RTT
+    g = int(min(max_group, max(1.0, rtt / max(transfer_s, 1e-9))))
+    return max(g, 1)
+
+
 class MiniBatchTrainer:
     def __init__(self, model, optimizer, loss_fn=masked_nll_loss, seed: int = 0):
         self.model = model
@@ -390,7 +440,7 @@ class MiniBatchTrainer:
         return state, total / max(nb, 1), time.perf_counter() - t0
 
     def run_epoch_packed(self, state: TrainState, loader, features, labels,
-                         fanouts, group: int = 1) -> tuple:
+                         fanouts, group=1) -> tuple:
         """One epoch over a ``packed=True`` loader: each batch is just
         ``(ids, mask)``; blocks are rebuilt and features gathered inside the
         jitted step (2 H2D transfers + 1 dispatch per batch — the
@@ -400,8 +450,30 @@ class MiniBatchTrainer:
         (:func:`make_packed_group_step`), dividing the fixed dispatch/RTT cost
         by the group size; the tail group is padded with zero-mask batches
         whose updates are suppressed, so training math is unchanged.
+
+        ``group="auto"`` probes the link once (:func:`measure_link`) and picks
+        the group from the measured bandwidth/RTT and the first batch's
+        payload (:func:`choose_packed_group`) — grouped dispatch regresses
+        badly on bandwidth-bound links (epoch_products_r4: 4.4x), so it must
+        never be the blind default. The chosen size is recorded in
+        ``self.last_group``.
         """
         features, labels = jax.tree.map(jnp.asarray, (features, labels))
+        if group == "auto":
+            import itertools
+
+            it = iter(loader)
+            first = next(it, None)
+            if first is None:
+                self.last_group = 1
+                return state, 0.0, 0.0
+            payload = first[0].nbytes + first[1].nbytes
+            if not hasattr(self, "_link"):
+                self._link = measure_link()
+            bw, rtt = self._link
+            group = choose_packed_group(payload, bw, rtt)
+            loader = itertools.chain([first], it)
+        self.last_group = group = int(group)
         if not hasattr(self, "_packed_steps"):
             self._packed_steps = {}
         key = (tuple(int(f) for f in fanouts), int(group))
