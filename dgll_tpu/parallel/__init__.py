@@ -22,10 +22,13 @@ from dgll_tpu.parallel.dp import (
 )
 from dgll_tpu.parallel.halo import (
     HaloPlan,
+    ShardWindowed,
     allgather_volume_bytes,
     build_halo_plan,
+    build_shard_windowed,
     halo_volume_bytes,
     make_halo_spmm,
+    make_halo_spmm_windowed,
     make_partitioned_spmm,
 )
 from dgll_tpu.parallel.gp import (
