@@ -1,14 +1,20 @@
-"""Round-4 SpMM hardware A/B: window-fused kernel vs r3 gather kernel vs XLA.
+"""SpMM hardware A/B: window-fused kernel vs r3 gather kernel vs XLA (r5).
 
-Produces ``benchmarks/results/spmm_tpu_r4.json``. Two graphs at r3 scale
+Produces ``benchmarks/results/spmm_tpu_r5.json``. Graphs at r3 scale
 (500k nodes, 8M edges, F=128):
 
 * ``clustered`` — SBM (communities of 2048, 90 % intra): the structure the
   reference's real benchmark graphs (products/reddit) and its own COG
   preprocessing produce. The windowed kernel's design point.
-* ``random``    — r3's power-law-dst/uniform-src graph: the adversarial case.
-  The probe (pallas_probe_r4.json) shows the row-gather there is issue-bound;
-  the hybrid builder routes most edges residual and the classic path rules.
+* ``random``    — r3's power-law-dst/uniform-src graph: the adversarial case
+  (a true expander: no ordering can manufacture locality; the hybrid builder
+  routes most edges residual and the classic path rules — honest negative).
+* ``shuffled_sbm`` (r5) — the SBM with node ids randomly permuted: locality
+  EXISTS but not in id space, the shape of every un-preprocessed real
+  power-law graph. Benched as-is AND through ``reorder_for_locality``
+  (``parallel/reorder.py`` — the reference's COG preprocessing applied to the
+  kernel layout), with preprocessing seconds reported alongside, as the
+  reference's COG timing CSVs do (``cog.py:250-253``).
 
 Metrics per row: ms (dependent-chain slope, relay-safe), Medges/s,
 ``roofline_fraction`` (r2/r3-continuity: 3x E_pad*F traffic basis at 819 GB/s),
@@ -43,6 +49,10 @@ def graphs(n, e, rng):
     dst2 = np.sort(np.searchsorted(cdf, rng.random(e)).astype(np.int64))
     src2 = rng.integers(0, n, e).astype(np.int64)
     out["random"] = (src2, dst2)
+
+    # r5: hidden locality — SBM with shuffled ids (reorder target)
+    shuf = rng.permutation(n)
+    out["shuffled_sbm"] = (shuf[out["clustered"][0]], shuf[out["clustered"][1]])
     return out
 
 
@@ -61,7 +71,7 @@ def main():
     feat_dim = int(os.environ.get("SB_DIM", 128))
     out_path = os.environ.get(
         "SB_OUT", os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "results", "spmm_tpu_r4.json"))
+                               "results", "spmm_tpu_r5.json"))
     n_edge = n_node * avg_deg
     rng = np.random.default_rng(0)
 
@@ -132,6 +142,53 @@ def main():
                                    "medges_per_s_2pass":
                                        round(2 * n_edge / dt_fb / 1e6, 1)}
         print(f"[{gname}] fwd+bwd {dt_fb*1e3:.2f} ms", flush=True)
+
+        # ---- r5: manufacture locality (VERDICT r4 ask #1) — reorder, then
+        # windowed; preprocessing time reported alongside (COG-CSV style)
+        if gname == "shuffled_sbm":
+            import time as _time
+
+            from dgll_tpu.graph import Graph
+            from dgll_tpu.parallel.reorder import reorder_for_locality
+
+            t0p = _time.perf_counter()
+            gtmp = Graph.from_edges(src, dst, n_node, edge_weight=ew)
+            g2, info = reorder_for_locality(gtmp)
+            pre_s = _time.perf_counter() - t0p
+            src_r = np.asarray(g2.src)[: g2.n_real_edge]
+            dst_r = np.asarray(g2.dst)[: g2.n_real_edge]
+            ew_r = np.asarray(g2.edge_weight)[: g2.n_real_edge]
+            t0b = _time.perf_counter()
+            hr, htr = build_hybrid_pair(src_r, dst_r, n_node, n_node, ew_r)
+            build_s = _time.perf_counter() - t0b
+            hr, htr = hybrid_to_device(hr), hybrid_to_device(htr)
+
+            f_r_raw = jax.jit(lambda x, h_, ht_: spmm_hybrid(
+                h_, ht_, x)[:n_node] * 0.5)
+            dt_r = chain_time(lambda x: f_r_raw(x, hr, htr), x0)
+            row = _row(dt_r, n_edge, e_pad_c, feat_dim, 4, n_node, dt)
+            row.update({
+                "windowed_fraction": round(hr.windowed_fraction, 3),
+                "vs_classic": round(dt_c / dt_r, 2),
+                "vs_unreordered_hybrid": round(
+                    g["hybrid_windowed_f32"]["ms"] / (dt_r * 1e3), 2),
+                "reorder_method": info["chosen"],
+                "reorder_s": round(pre_s, 2),
+                "layout_build_s": round(build_s, 2),
+                "estimates": {k: round(v, 3) for k, v in info.items()
+                              if k.startswith("estimate")},
+            })
+            g["hybrid_windowed_f32_reordered"] = row
+            print(f"[{gname}] reordered({info['chosen']}) {dt_r*1e3:.2f} ms "
+                  f"(frac {hr.windowed_fraction:.2f}, pre {pre_s:.1f}s)",
+                  flush=True)
+
+            dt_rfb = chain_time(lambda x: fb_raw(x, hr, htr, t_target), x0)
+            g["hybrid_fwd_bwd_f32_reordered"] = {
+                "ms": round(dt_rfb * 1e3, 2),
+                "medges_per_s_2pass": round(2 * n_edge / dt_rfb / 1e6, 1)}
+            print(f"[{gname}] reordered fwd+bwd {dt_rfb*1e3:.2f} ms",
+                  flush=True)
 
         results["graphs"][gname] = g
 

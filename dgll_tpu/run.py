@@ -55,6 +55,8 @@ def build_model(cfg, n_class: int):
                    n_layers=cfg.n_layers, dropout=cfg.dropout, dtype=dtype)
     if cfg.model.upper() in ("GRAPHSAGE", "SAGE"):
         return GraphSAGE(hidden=cfg.nhid, n_class=n_class, n_layers=cfg.n_layers,
+                         aggregator=getattr(cfg, "sage_aggregator", "mean"),
+                         combine=getattr(cfg, "sage_combine", "concat"),
                          dropout=cfg.dropout, dtype=dtype)
     if cfg.model.upper() == "GIN":
         return GINNode(hidden=cfg.nhid, n_class=n_class, n_layers=cfg.n_layers,

@@ -46,6 +46,9 @@ class TrainConfig:
                                     # speed mode — within-node draws share one 128-lane
                                     # CSR window, so they are correlated, a deviation
                                     # from the reference's i.i.d. uniform sampling)
+    sage_aggregator: str = "mean"   # SAGEConv neighbour aggregator (ref
+                                    # NeighborAggregator: mean|sum|max)
+    sage_combine: str = "concat"    # SAGEConv combine (ref: concat|sum)
     exact_eval: bool = False        # final test metric via full-neighborhood
                                     # inference (train/exact_infer.py) instead
                                     # of the sampled sweep
@@ -100,6 +103,10 @@ def add_train_flags(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
              "epochs at products scale). Within-node draws are correlated — a "
              "statistical deviation from exact i.i.d. neighbor sampling; "
              "convergence parity evidence: benchmarks/results/window_ab_r4.json")
+    p.add_argument("--sage_aggregator", default=d.sage_aggregator,
+                   choices=["mean", "sum", "max"])
+    p.add_argument("--sage_combine", default=d.sage_combine,
+                   choices=["concat", "sum"])
     p.add_argument("--exact_eval", action="store_true")
     p.add_argument("--no_window_sampling", dest="window_sampling",
                    action="store_false", help="exact per-slot i.i.d. draws (default)")
