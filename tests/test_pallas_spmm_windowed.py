@@ -217,3 +217,40 @@ class TestGraphIntegration:
         g = Graph.from_edges(src, dst, n)
         gw = g.with_windowed(min_fraction=0.5)
         assert gw.hybrid is None  # random graph: windowed capture too low
+
+
+class TestLargerChunks:
+    """eb=1024 layouts (r5): the hardware probe (windowed_probe_r5.json) shows
+    the kernel is grid-step bound, so halving the chunk count is the lever —
+    correctness must hold at the larger chunk size."""
+
+    def test_eb1024_forward_matches_dense(self):
+        n = 1536
+        src, dst, w = clustered_coo(n, 9, 6, intra=0.9, seed=7)
+        h, ht = build_hybrid_pair(src, dst, n, n, w, eb=1024)
+        assert h.win.n_sub == 8
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((n, 128)).astype(np.float32)
+        out = spmm_hybrid(h, ht, jnp.asarray(x), interpret=True)[:n]
+        want = dense_ref(src, dst, w, n, n, x)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=2e-4)
+
+    def test_eb1024_vjp_matches_autodiff_oracle(self):
+        n = 768
+        src, dst, w = clustered_coo(n, 6, 4, intra=0.9, seed=8)
+        h, ht = build_hybrid_pair(src, dst, n, n, w, eb=1024)
+        x = jnp.asarray(
+            np.random.default_rng(4).standard_normal((n, 128)).astype(np.float32))
+        t = jnp.asarray(
+            np.random.default_rng(5).standard_normal(
+                (h.win.n_rows, 128)).astype(np.float32))
+
+        def lo(x_):
+            return jnp.vdot(spmm_hybrid(h, ht, x_, interpret=True), t)
+
+        gx = jax.grad(lo)(x)
+        # oracle: dense A^T t
+        A = np.zeros((n, n), np.float32)
+        np.add.at(A, (dst, src), w)
+        np.testing.assert_allclose(np.asarray(gx), A.T @ np.asarray(t)[:n],
+                                   rtol=2e-4, atol=2e-4)
