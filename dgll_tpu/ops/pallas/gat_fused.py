@@ -227,6 +227,15 @@ def _valid01(c: ChunkedCSR):
     return (c.weight != 0).astype(jnp.float32)
 
 
+def head_expand(H: int, f: int, dtype=jnp.float32) -> jax.Array:
+    """[H, H*f] one-hot expander: ``alpha @ head_expand`` broadcasts per-head
+    values over that head's feature lanes WITHOUT any rank-3 [E, H, f] array —
+    a [E, H, f] intermediate tile-pads (8, 128) on its minor dims (f -> 128),
+    an 8x HBM inflation that OOMs at edge scale (hit live on the 3.3M-edge
+    bench). Everything E-sized stays rank-2; the expander matmul is tiny."""
+    return jnp.repeat(jnp.eye(H, dtype=dtype), f, axis=1)
+
+
 def _forward(c, ct, msg, sc_src, s_dst, negative_slope, interpret):
     H = sc_src.shape[-1]
     e_rows = c.n_chunk * c.eb
@@ -234,8 +243,8 @@ def _forward(c, ct, msg, sc_src, s_dst, negative_slope, interpret):
     m, den = gat_stats(c, sc_src, s_dst, negative_slope, interpret)
     alpha, lgrad = gat_alpha(c, sc_src, s_dst, m, den, negative_slope,
                              interpret)
-    msg_w = (msg.reshape(e_rows, H, f)
-             * alpha[:e_rows].astype(msg.dtype)[:, :, None]).reshape(e_rows, -1)
+    ex = head_expand(H, f, msg.dtype)
+    msg_w = msg * (alpha[:e_rows].astype(msg.dtype) @ ex)   # rank-2 throughout
     out = spmm_chunked_pallas(c, msg_w, weights=_valid01(c),
                               interpret=interpret)
     return out, alpha, lgrad
@@ -260,13 +269,13 @@ def _gat_bwd(negative_slope, interpret, res, g):
     e_rows = c.n_chunk * c.eb
     f = msg.shape[-1] // H
 
-    # d msg_w: per-edge destination rows of g (one expand launch)
+    # d msg_w: per-edge destination rows of g (one expand launch). Rank-2
+    # everywhere — see head_expand (rank-3 [E, H, f] tile-pads 8x and OOMs).
     g_edges = expand_rows_chunked(c, g.astype(msg.dtype), interpret=interpret)
-    a_e = alpha[:e_rows].astype(msg.dtype)[:, :, None]
-    g3 = g_edges.reshape(e_rows, H, f)
-    dmsg = (g3 * a_e).reshape(e_rows, -1)
-    dalpha = jnp.einsum("ehf,ehf->eh", g3.astype(jnp.float32),
-                        msg.reshape(e_rows, H, f).astype(jnp.float32))
+    ex = head_expand(H, f, msg.dtype)
+    a_hf = alpha[:e_rows].astype(msg.dtype) @ ex                 # [E, H*f]
+    dmsg = g_edges * a_hf
+    dalpha = ((g_edges * msg).astype(jnp.float32) @ ex.astype(jnp.float32).T)
     dalpha = jnp.pad(dalpha, ((0, (c.n_chunk_meta - c.n_chunk) * c.eb), (0, 0)))
 
     # softmax VJP: de = alpha * (dalpha - S[dst]),  S = sum_dst alpha*dalpha
