@@ -39,6 +39,12 @@ class ChunkedCSR:
     dst_local: jax.Array  # [n_chunk, EB] int32 in [0, R_BLOCK) (0 on padding)
     weight: jax.Array     # [n_chunk, EB] float32 (0 on padding)
     row_block: jax.Array  # [n_chunk] int32, non-decreasing
+    # Optional (build_chunked_pair): maps each TRANSPOSE-layout compute slot to
+    # the slot of the same edge in THIS layout (pads -> n_chunk*eb, a zero
+    # row). Lets per-edge cotangents scatter through the transpose layout's
+    # compiled kernel instead of XLA's serialized scatter-add (the GAT
+    # backward's dominant cost at edge scale).
+    t_slot_perm: Optional[jax.Array] = None   # [ct.n_chunk * eb] int32
     n_chunk: int = struct.field(pytree_node=False, default=0)
     eb: int = struct.field(pytree_node=False, default=512)
     n_rows: int = struct.field(pytree_node=False, default=0)  # padded to R_BLOCK
@@ -148,6 +154,34 @@ def build_chunked(
     )
 
 
+def _slot_keys(lay: ChunkedCSR, swap: bool):
+    nc = lay.n_chunk
+    src = np.asarray(lay.src)[:nc].reshape(-1).astype(np.int64)
+    dst = (np.asarray(lay.row_block)[:nc, None] * R_BLOCK
+           + np.asarray(lay.dst_local)[:nc]).reshape(-1).astype(np.int64)
+    valid = np.asarray(lay.weight)[:nc].reshape(-1) != 0
+    return (dst, src, valid) if swap else (src, dst, valid)
+
+
+def build_slot_perm(a: ChunkedCSR, at: ChunkedCSR) -> np.ndarray:
+    """``perm[j]`` = slot in ``a`` holding the edge at transpose slot ``j``.
+
+    Both layouts hold the same (src, dst) multiset (a's slots keyed (src, dst),
+    at's keyed swapped); matching by lexsorted keys pairs duplicates
+    arbitrarily-but-consistently (per-edge GAT quantities depend only on
+    endpoints, so duplicates carry identical values). Padding slots map to
+    ``a.n_chunk * eb`` — callers append a zero row there."""
+    sa, da, va = _slot_keys(a, swap=False)
+    sb, db, vb = _slot_keys(at, swap=True)
+    ia = np.flatnonzero(va)
+    ib = np.flatnonzero(vb)
+    oa = ia[np.lexsort((da[ia], sa[ia]))]
+    ob = ib[np.lexsort((db[ib], sb[ib]))]
+    perm = np.full(len(sb), a.n_chunk * a.eb, np.int32)
+    perm[ob] = oa.astype(np.int32)
+    return perm
+
+
 def build_chunked_pair(
     src: np.ndarray,
     dst: np.ndarray,
@@ -156,9 +190,13 @@ def build_chunked_pair(
     weight: Optional[np.ndarray] = None,
     eb: int = 512,
 ) -> Tuple[ChunkedCSR, ChunkedCSR]:
-    """Chunked layouts for A and A^T (the transpose drives the backward pass)."""
+    """Chunked layouts for A and A^T (the transpose drives the backward pass).
+
+    ``a.t_slot_perm`` is attached so per-edge cotangents can ride ``at``'s
+    compiled scatter (see :func:`build_slot_perm`)."""
     a = build_chunked(src, dst, n_rows, n_cols, weight, eb)
     at = build_chunked(dst, src, n_cols, n_rows, weight, eb)
+    a = a.replace(t_slot_perm=build_slot_perm(a, at))
     return a, at
 
 

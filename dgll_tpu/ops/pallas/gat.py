@@ -166,23 +166,8 @@ def gat_attention_chunked_fused(
     """
     from dgll_tpu.ops.pallas.gat_fused import gat_attention_fused
 
-    n_heads, f = a_src.shape
-    nc, nm = c.n_chunk, c.n_chunk_meta
-    e_rows = nc * c.eb
-    msg = jnp.take(h, c.src[:nc].reshape(-1), axis=0)      # the one gather
-
-    def head_proj(a):
-        # [H, F] -> [H*F, H] block matrix so per-head dots are ONE rank-2
-        # matmul: a rank-3 [E, H, f] einsum intermediate tile-pads (8, 128)
-        # minor dims — 8x HBM at edge scale (OOMs the 3.3M-edge bench)
-        H, F = a.shape
-        return (a[:, :, None] * jnp.eye(H, dtype=a.dtype)[:, None, :]
-                ).reshape(H * F, H)
-
-    sc_src = (msg @ head_proj(a_src.astype(msg.dtype))).astype(jnp.float32)
-    sc_src = jnp.pad(sc_src, ((0, (nm - nc) * c.eb), (0, 0)))
-    s_dst = (h @ head_proj(a_dst.astype(h.dtype))).astype(jnp.float32)
-    return gat_attention_fused(c, ct, msg, sc_src, s_dst, negative_slope,
+    assert h.shape[0] == c.n_rows, (h.shape, c.n_rows)
+    return gat_attention_fused(c, ct, h, a_src, a_dst, negative_slope,
                                interpret)
 
 

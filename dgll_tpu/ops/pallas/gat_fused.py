@@ -153,9 +153,13 @@ def _alpha_kernel(rb_ref, dstl_ref, w_ref, *refs, H: int, slope: float):
     hitf = ((rows == dstl) & (w != 0.0)).astype(jnp.float32)       # [R, EB]
 
     def to_edges(row_ref):
-        # [1, R] @ [R, EB] -> [1, EB]: dst-indexed row value at each edge
-        return jnp.dot(row_ref[pl.ds(rbm, 1), :], hitf,
-                       preferred_element_type=jnp.float32)
+        # [1, R] @ [R, EB] -> [1, EB]: dst-indexed row value at each edge.
+        # HIGHEST precision: the default bf16-input MXU pass truncates the
+        # softmax stats (m, 1/den) to ~3 decimal digits and the resulting
+        # alpha error (~5% rel) exceeds the kernel-agreement bar.
+        return jax.lax.dot(row_ref[pl.ds(rbm, 1), :], hitf,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
 
     valid = w != 0.0
     for h in range(H):
@@ -236,10 +240,26 @@ def head_expand(H: int, f: int, dtype=jnp.float32) -> jax.Array:
     return jnp.repeat(jnp.eye(H, dtype=dtype), f, axis=1)
 
 
-def _forward(c, ct, msg, sc_src, s_dst, negative_slope, interpret):
-    H = sc_src.shape[-1]
+def head_proj(a: jax.Array) -> jax.Array:
+    """[H, F] -> [H*F, H] block matrix: per-head dots as ONE rank-2 matmul."""
+    H, F = a.shape
+    return (a[:, :, None] * jnp.eye(H, dtype=a.dtype)[:, None, :]
+            ).reshape(H * F, H)
+
+
+def _scores(c, h, a_src, a_dst):
+    nc, nm = c.n_chunk, c.n_chunk_meta
+    msg = jnp.take(h, c.src[:nc].reshape(-1), axis=0)      # the one gather
+    sc_src = (msg @ head_proj(a_src.astype(msg.dtype))).astype(jnp.float32)
+    sc_src = jnp.pad(sc_src, ((0, (nm - nc) * c.eb), (0, 0)))
+    s_dst = (h @ head_proj(a_dst.astype(h.dtype))).astype(jnp.float32)
+    return msg, sc_src, s_dst
+
+
+def _forward(c, ct, h, a_src, a_dst, negative_slope, interpret):
+    H, f = a_src.shape
     e_rows = c.n_chunk * c.eb
-    f = msg.shape[-1] // H
+    msg, sc_src, s_dst = _scores(c, h, a_src, a_dst)
     m, den = gat_stats(c, sc_src, s_dst, negative_slope, interpret)
     alpha, lgrad = gat_alpha(c, sc_src, s_dst, m, den, negative_slope,
                              interpret)
@@ -247,46 +267,70 @@ def _forward(c, ct, msg, sc_src, s_dst, negative_slope, interpret):
     msg_w = msg * (alpha[:e_rows].astype(msg.dtype) @ ex)   # rank-2 throughout
     out = spmm_chunked_pallas(c, msg_w, weights=_valid01(c),
                               interpret=interpret)
-    return out, alpha, lgrad
+    return out, msg, alpha, lgrad
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _gat_fused(negative_slope, interpret, c: ChunkedCSR, ct: ChunkedCSR,
-               msg, sc_src, s_dst):
-    out, _, _ = _forward(c, ct, msg, sc_src, s_dst, negative_slope, interpret)
+               h, a_src, a_dst):
+    out, _, _, _ = _forward(c, ct, h, a_src, a_dst, negative_slope, interpret)
     return out
 
 
-def _gat_fwd(negative_slope, interpret, c, ct, msg, sc_src, s_dst):
-    out, alpha, lgrad = _forward(c, ct, msg, sc_src, s_dst, negative_slope,
-                                 interpret)
-    return out, (c, ct, msg, alpha, lgrad, s_dst.shape[0])
+def _gat_fwd(negative_slope, interpret, c, ct, h, a_src, a_dst):
+    out, msg, alpha, lgrad = _forward(c, ct, h, a_src, a_dst, negative_slope,
+                                      interpret)
+    return out, (c, ct, h, a_src, a_dst, msg, alpha, lgrad)
 
 
 def _gat_bwd(negative_slope, interpret, res, g):
-    c, ct, msg, alpha, lgrad, n_rows = res
-    H = alpha.shape[-1]
+    c, ct, h, a_src, a_dst, msg, alpha, lgrad = res
+    H, f = a_src.shape
     e_rows = c.n_chunk * c.eb
-    f = msg.shape[-1] // H
+    n_in = h.shape[0]
 
     # d msg_w: per-edge destination rows of g (one expand launch). Rank-2
     # everywhere — see head_expand (rank-3 [E, H, f] tile-pads 8x and OOMs).
     g_edges = expand_rows_chunked(c, g.astype(msg.dtype), interpret=interpret)
-    ex = head_expand(H, f, msg.dtype)
-    a_hf = alpha[:e_rows].astype(msg.dtype) @ ex                 # [E, H*f]
+    ex = head_expand(H, f, jnp.float32)
+    exm = ex.astype(msg.dtype)
+    a_hf = alpha[:e_rows].astype(msg.dtype) @ exm                # [E, H*f]
     dmsg = g_edges * a_hf
-    dalpha = ((g_edges * msg).astype(jnp.float32) @ ex.astype(jnp.float32).T)
+    dalpha = (g_edges * msg).astype(jnp.float32) @ ex.T
     dalpha = jnp.pad(dalpha, ((0, (c.n_chunk_meta - c.n_chunk) * c.eb), (0, 0)))
 
     # softmax VJP: de = alpha * (dalpha - S[dst]),  S = sum_dst alpha*dalpha
     S = _e2r_sum_multi_d(interpret, c, alpha * dalpha)          # [n_rows, H]
     S_e = _r2e_multi_d(interpret, c, S)                         # [E_meta, H]
     de = alpha * (dalpha - S_e)
+    dz = (de * lgrad)[:e_rows]                                  # leaky' factor
 
-    dz = de * lgrad                                             # leaky' factor
-    dsc = dz                                                    # per-edge score grad
-    dsd = _e2r_sum_multi_d(interpret, c, dz)[:n_rows]           # [n_rows, H]
-    return (zero_cotangent(c), zero_cotangent(ct), dmsg, dsc, dsd)
+    # score-path grads (all rank-2): sc_src = msg @ P(a_src), s_dst = h @ P(a_dst)
+    Ps = head_proj(a_src.astype(msg.dtype))
+    dmsg = dmsg + (dz.astype(msg.dtype) @ Ps.T)
+    da_src = ((dz @ ex) * msg.astype(jnp.float32)).sum(0).reshape(H, f)
+    dsd = _e2r_sum_multi_d(interpret, c, de * lgrad)[: c.n_rows]  # [n_rows, H]
+    dh = dsd[:n_in].astype(h.dtype) @ head_proj(a_dst.astype(h.dtype)).T
+    da_dst = ((dsd @ ex) * h.astype(jnp.float32)[: c.n_rows]
+              ).sum(0).reshape(H, f)
+
+    # dh += scatter of dmsg by source id. With the slot permutation the
+    # scatter rides the TRANSPOSE layout's compiled kernel (one [E] gather +
+    # one chunked scatter) — XLA's serialized scatter-add at [E, H*F] is the
+    # backward's dominant cost otherwise (measured 164 ms at 8M x 128).
+    if c.t_slot_perm is not None:
+        dmsg_z = jnp.concatenate(
+            [dmsg, jnp.zeros((1, dmsg.shape[-1]), dmsg.dtype)], axis=0)
+        dmsg_t = jnp.take(dmsg_z, c.t_slot_perm, axis=0)
+        dh_msg = spmm_chunked_pallas(ct, dmsg_t, weights=_valid01(ct),
+                                     interpret=interpret)[:n_in]
+    else:
+        src_flat = c.src[: c.n_chunk].reshape(-1)
+        dh_msg = jax.ops.segment_sum(dmsg, src_flat, num_segments=n_in)
+    dh = dh + dh_msg.astype(h.dtype)
+
+    return (zero_cotangent(c), zero_cotangent(ct), dh,
+            da_src.astype(a_src.dtype), da_dst.astype(a_dst.dtype))
 
 
 _gat_fused.defvjp(_gat_fwd, _gat_bwd)
@@ -295,22 +339,22 @@ _gat_fused.defvjp(_gat_fwd, _gat_bwd)
 def gat_attention_fused(
     c: ChunkedCSR,
     ct: ChunkedCSR,
-    msg: jax.Array,
-    sc_src: jax.Array,
-    s_dst: jax.Array,
+    h: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
     negative_slope: float = 0.2,
     interpret=None,
 ):
-    """Fused multi-head sparse GAT aggregation (differentiable).
+    """Fused multi-head sparse GAT layer (differentiable).
 
-    ``msg [n_chunk*EB, H*F]`` gathered source rows, ``sc_src
-    [n_chunk_meta*EB, H]`` per-edge source scores, ``s_dst [n_rows, H]``
-    destination scores. Returns ``[n_rows, H, F]``. Three kernel launches
-    forward (stats, alpha, scatter), four backward.
+    ``h [c.n_rows, H*F]`` projected features (row-padded), ``a_src``/``a_dst``
+    [H, F]. Gather, scores, online-softmax stats, alpha, and aggregation all
+    live inside ONE custom-VJP op: three kernel launches forward (stats,
+    alpha, scatter); backward is five launches with the dmsg scatter riding
+    the transpose layout (no XLA scatter-add). Returns ``[n_rows, H, F]``.
     """
     if interpret is None:
         interpret = c.interpret
-    H = sc_src.shape[-1]
-    out = _gat_fused(float(negative_slope), interpret, c, ct, msg, sc_src,
-                     s_dst)
+    H = a_src.shape[0]
+    out = _gat_fused(float(negative_slope), interpret, c, ct, h, a_src, a_dst)
     return out.reshape(c.n_rows, H, -1)
