@@ -152,21 +152,26 @@ def _alpha_kernel(rb_ref, dstl_ref, w_ref, *refs, H: int, slope: float):
     rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, eb), 0)
     hitf = ((rows == dstl) & (w != 0.0)).astype(jnp.float32)       # [R, EB]
 
-    def to_edges(row_ref):
-        # [1, R] @ [R, EB] -> [1, EB]: dst-indexed row value at each edge.
-        # HIGHEST precision: the default bf16-input MXU pass truncates the
-        # softmax stats (m, 1/den) to ~3 decimal digits and the resulting
-        # alpha error (~5% rel) exceeds the kernel-agreement bar.
-        return jax.lax.dot(row_ref[pl.ds(rbm, 1), :], hitf,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
+    # ALL 3H dst-indexed row quantities (s_dst, m, 1/den per head) ride ONE
+    # [3H, R] @ [R, EB] MXU call per grid step, at HIGHEST precision: the
+    # default bf16-input pass truncates the stats enough (~5% alpha rel err)
+    # to fail the kernel-agreement bar, and per-quantity matvecs at HIGHEST
+    # cost 3 passes EACH (measured +34% fwd time) — one batched matmul pays
+    # the 3-pass cost once.
+    stacked = jnp.concatenate(
+        [r[pl.ds(rbm, 1), :] for r in (*sd_refs, *m_refs, *iv_refs)], axis=0)
+    E3 = jax.lax.dot(stacked, hitf,                               # [3H, EB]
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
 
     valid = w != 0.0
     for h in range(H):
         sc = sc_refs[h][pl.ds(cm, 1), :]                           # [1, EB]
-        sd_e = to_edges(sd_refs[h])
-        m_e = to_edges(m_refs[h])
-        iv_e = to_edges(iv_refs[h])
+        # h is a Python int (unrolled loop) -> static slices (Pallas TPU has
+        # no dynamic_slice lowering for values)
+        sd_e = E3[h:h + 1, :]
+        m_e = E3[H + h:H + h + 1, :]
+        iv_e = E3[2 * H + h:2 * H + h + 1, :]
         z = sc + sd_e
         lg = jnp.where(z > 0, 1.0, slope)
         e = jnp.where(z > 0, z, slope * z)
