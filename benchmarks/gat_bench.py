@@ -110,6 +110,18 @@ def main():
                                           jax, jnp, ref)
             results[base + "_fused_eb1024"]["vs_eb512"] = round(dt_f / dt_e, 2)
 
+        if os.environ.get("GB_BF16", "1") == "1":
+            # mixed precision: projection/messages bf16, softmax stats f32
+            # (standard practice; halves the edge-sized gather/premult/scatter
+            # traffic in fwd AND bwd)
+            conv16 = GATConv(features=F, num_heads=H, dtype=jnp.bfloat16)
+            dt_b, dt_bfb, _ = bench_layer(conv16, params, gc, x, tgt,
+                                          tag + " fused bf16 (r5, eb=512)",
+                                          results, base + "_fused_bf16",
+                                          jax, jnp, ref)
+            results[base + "_fused_bf16"]["fwd_bwd_vs_f32"] = round(
+                dt_ffb / dt_bfb, 2)
+
         if do_unfused:
             # round-4 path: monkeypatch the conv's fused entry to the 6-launch
             # per-stage composition (same signature/return shape)

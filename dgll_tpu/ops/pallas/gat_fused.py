@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dgll_tpu.ops.chunked import R_BLOCK, ChunkedCSR
-from dgll_tpu.ops.pallas.edge_ops import NEG, _e2r_sum_multi_d, _r2e_multi_d
+from dgll_tpu.ops.pallas.edge_ops import NEG, _e2r_sum_multi_d
 from dgll_tpu.ops.pallas.expand_rows import expand_rows_chunked
 from dgll_tpu.ops.pallas.segment_matmul import spmm_chunked_pallas, zero_cotangent
 
@@ -245,6 +245,103 @@ def head_expand(H: int, f: int, dtype=jnp.float32) -> jax.Array:
     return jnp.repeat(jnp.eye(H, dtype=dtype), f, axis=1)
 
 
+def _bwd_sm_kernel(rb_ref, dstl_ref, w_ref, *refs, H: int):
+    # refs: alpha planes [H], dalpha planes [H], lgrad planes [H],
+    #       S row-planes [H]; outs: dz planes [H], dsd cols [H]; scratch [H]
+    a_refs = refs[:H]
+    da_refs = refs[H:2 * H]
+    lg_refs = refs[2 * H:3 * H]
+    S_refs = refs[3 * H:4 * H]
+    dz_refs = refs[4 * H:5 * H]
+    dsd_refs = refs[5 * H:6 * H]
+    acc_refs = refs[6 * H:]
+
+    c = pl.program_id(0)
+    n_chunk = pl.num_programs(0)
+    rb = rb_ref[c]
+    is_first = jnp.logical_or(c == 0, rb_ref[jnp.maximum(c - 1, 0)] != rb)
+    is_last = jnp.logical_or(
+        c == n_chunk - 1, rb_ref[jnp.minimum(c + 1, n_chunk - 1)] != rb)
+    cm = c % 8
+    rbm = rb % 8
+    dstl = dstl_ref[pl.ds(cm, 1), :]
+    eb = dstl.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R_BLOCK, eb), 0)
+    hitf = ((rows == dstl) & (w_ref[pl.ds(cm, 1), :] != 0.0)
+            ).astype(jnp.float32)
+
+    # all H dst-indexed S rows in ONE high-precision matmul (see gat_alpha)
+    Sstack = jnp.concatenate([r[pl.ds(rbm, 1), :] for r in S_refs], axis=0)
+    S_e = jax.lax.dot(Sstack, hitf, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)        # [H, EB]
+
+    for h in range(H):
+        a = a_refs[h][pl.ds(cm, 1), :]
+        da = da_refs[h][pl.ds(cm, 1), :]
+        lg = lg_refs[h][pl.ds(cm, 1), :]
+        dz = a * (da - S_e[h:h + 1, :]) * lg                     # softmax VJP
+        dz_refs[h][pl.ds(cm, 1), :] = dz
+        part = jax.lax.dot_general(                              # [R, 1]
+            hitf, dz, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(is_first)
+        def _(h=h, part=part):
+            acc_refs[h][:] = part
+
+        @pl.when(jnp.logical_not(is_first))
+        def _(h=h, part=part):
+            acc_refs[h][:] = acc_refs[h][:] + part
+
+        @pl.when(is_last)
+        def _(h=h):
+            dsd_refs[h][:] = acc_refs[h][:]
+
+
+def gat_bwd_softmax(c: ChunkedCSR, alpha, dalpha, lgrad, S, interpret=None):
+    """Fused backward softmax: ``dz = alpha*(dalpha - S[dst])*lgrad`` AND its
+    per-destination reduce ``dsd`` in ONE revisiting launch (replaces the
+    broadcast + reduce launch pair plus the [E, H] XLA elementwise passes —
+    [E, H] arrays lane-pad 8 -> 128, so every XLA pass over them moves 16x the
+    logical bytes). Returns ``(dz [n_chunk_meta*EB, H], dsd [n_rows, H])``."""
+    if interpret is None:
+        interpret = c.interpret
+    H = alpha.shape[-1]
+    nm, eb = c.n_chunk_meta, c.eb
+    nrb8 = ((c.n_row_blocks + 7) // 8) * 8
+
+    def planes(x):
+        return [x[:, h].reshape(nm, eb).astype(jnp.float32) for h in range(H)]
+
+    S_rp = _row_planes(S, c.n_row_blocks, nrb8)
+    mspec = pl.BlockSpec((8, eb), lambda ci, rb: (ci // 8, 0))
+    rpspec = pl.BlockSpec((8, R_BLOCK), lambda ci, rb: (rb[ci] // 8, 0))
+    colspec = pl.BlockSpec((R_BLOCK, 1), lambda ci, rb: (rb[ci], 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c.n_chunk,),
+        in_specs=[mspec, mspec] + [mspec] * (3 * H) + [rpspec] * H,
+        out_specs=tuple([mspec] * H + [colspec] * H),
+        scratch_shapes=[pltpu.VMEM((R_BLOCK, 1), jnp.float32)
+                        for _ in range(H)],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_sm_kernel, H=H),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((nm, eb), jnp.float32) for _ in range(H)]
+            + [jax.ShapeDtypeStruct((c.n_rows, 1), jnp.float32)
+               for _ in range(H)]),
+        interpret=interpret,
+    )(c.row_block, c.dst_local, c.weight,
+      *planes(alpha), *planes(dalpha), *planes(lgrad), *S_rp)
+    live = jnp.arange(nm)[:, None] < c.n_chunk
+    dz = jnp.stack([jnp.where(live, o, 0.0).reshape(-1) for o in outs[:H]],
+                   axis=-1)
+    dsd = jnp.concatenate(outs[H:], axis=-1)
+    return dz, dsd
+
+
 def head_proj(a: jax.Array) -> jax.Array:
     """[H, F] -> [H*F, H] block matrix: per-head dots as ONE rank-2 matmul."""
     H, F = a.shape
@@ -304,17 +401,18 @@ def _gat_bwd(negative_slope, interpret, res, g):
     dalpha = (g_edges * msg).astype(jnp.float32) @ ex.T
     dalpha = jnp.pad(dalpha, ((0, (c.n_chunk_meta - c.n_chunk) * c.eb), (0, 0)))
 
-    # softmax VJP: de = alpha * (dalpha - S[dst]),  S = sum_dst alpha*dalpha
+    # softmax VJP: dz = alpha * (dalpha - S[dst]) * leaky',
+    # S = sum_dst alpha*dalpha. The broadcast of S, the elementwise chain and
+    # the per-destination reduce of dz run in ONE fused launch.
     S = _e2r_sum_multi_d(interpret, c, alpha * dalpha)          # [n_rows, H]
-    S_e = _r2e_multi_d(interpret, c, S)                         # [E_meta, H]
-    de = alpha * (dalpha - S_e)
-    dz = (de * lgrad)[:e_rows]                                  # leaky' factor
+    dz_full, dsd = gat_bwd_softmax(c, alpha, dalpha, lgrad, S, interpret)
+    dz = dz_full[:e_rows]
 
     # score-path grads (all rank-2): sc_src = msg @ P(a_src), s_dst = h @ P(a_dst)
     Ps = head_proj(a_src.astype(msg.dtype))
     dmsg = dmsg + (dz.astype(msg.dtype) @ Ps.T)
     da_src = ((dz @ ex) * msg.astype(jnp.float32)).sum(0).reshape(H, f)
-    dsd = _e2r_sum_multi_d(interpret, c, de * lgrad)[: c.n_rows]  # [n_rows, H]
+    dsd = dsd[: c.n_rows]                                       # [n_rows, H]
     dh = dsd[:n_in].astype(h.dtype) @ head_proj(a_dst.astype(h.dtype)).T
     da_dst = ((dsd @ ex) * h.astype(jnp.float32)[: c.n_rows]
               ).sum(0).reshape(H, f)
