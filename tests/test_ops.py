@@ -144,3 +144,30 @@ def test_spmm_grad_edge_weight(coo):
     out = A @ x
     expect = 2.0 * np.sum(out[dst] * x[src], axis=-1)
     np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-3, atol=1e-3)
+
+
+def test_spmm_coo_feature_tiling_matches_untiled(monkeypatch):
+    """The >2GB [E, F] message guard (feature-tiled COO path) must be
+    numerically identical to the untiled path, for sum (weighted) and max."""
+    import dgll_tpu.ops.spmm as spmm_mod
+
+    rng = np.random.default_rng(0)
+    n, e, f = 64, 500, 384
+    src = jnp.asarray(rng.integers(0, n, e))
+    dst = jnp.asarray(rng.integers(0, n, e))
+    w = jnp.asarray(rng.random(e).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+    base_sum = spmm_mod.spmm_coo(src, dst, x, n, w)
+    base_max = spmm_mod.spmm_max_coo(src, dst, x, n)
+    base_mean = spmm_mod.spmm_mean_coo(src, dst, x, n)
+    monkeypatch.setattr(spmm_mod, "_MSG_TILE_BYTES", 1)  # force tiling
+    np.testing.assert_allclose(np.asarray(spmm_mod.spmm_coo(src, dst, x, n, w)),
+                               np.asarray(base_sum), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(spmm_mod.spmm_max_coo(src, dst, x, n)),
+                               np.asarray(base_max), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(spmm_mod.spmm_mean_coo(src, dst, x, n)),
+                               np.asarray(base_mean), rtol=1e-6)
+    # grads flow through the tiled path
+    g = jax.grad(lambda x_: jnp.sum(spmm_mod.spmm_coo(src, dst, x_, n, w) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
