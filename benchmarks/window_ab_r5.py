@@ -16,9 +16,10 @@ scale-realistic homophilous SBM graph under
   * device sampling, exact mode
   * host NeighborSampler (the reference-semantics baseline)
 
-and record best-val / test accuracy. All three variants are evaluated through
-the SAME compiled deterministic eval sweep, so only the TRAINING sampler
-differs. Output: benchmarks/results/window_ab_r4.json.
+and record best-val / test accuracy. All three variants are scored through
+the SAME **exact full-neighborhood inference** (train/exact_infer.py — zero
+eval sampling noise), so only the TRAINING sampler differs.
+Output: benchmarks/results/window_ab_r5.json.
 
 Env knobs: WA_NODES (600k), WA_DEG (15), WA_EPOCHS (60), WA_STOPS (8).
 """

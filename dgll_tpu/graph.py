@@ -184,7 +184,11 @@ class Graph:
             src0 = np.asarray(g.src)[: g.n_real_edge]
             dst0 = np.asarray(g.dst)[: g.n_real_edge]
             if estimate_windowed_fraction(src0, dst0, min_fill) < min_fraction:
-                g, _ = reorder_for_locality(g, min_fill=min_fill)
+                g, rinfo = reorder_for_locality(g, min_fill=min_fill,
+                                                min_fraction=min_fraction)
+                if rinfo.get("declined"):
+                    return self  # no ordering manufactures enough locality:
+                                 # skip the (wasted) layout build entirely
 
         src = np.asarray(g.src)[: g.n_real_edge]
         dst = np.asarray(g.dst)[: g.n_real_edge]

@@ -195,12 +195,15 @@ class GATConv(nn.Module):
             # aggregate at [E, H*F] and broadcast alpha via the head-expand
             # matmul: ANY rank-3 [E, H, F] intermediate tile-pads its minor
             # dims to (8, 128) on TPU — up to 8-16x HBM inflation at edge
-            # scale (measured OOM at 3.3M edges); rank-2 keeps the layout dense
+            # scale (measured OOM at 3.3M edges); rank-2 keeps the layout
+            # dense. Messages multiply and accumulate in f32 regardless of
+            # the compute dtype — a bf16 segment_sum over a hub's 10k+ edges
+            # loses ~log2(deg) mantissa bits.
             from dgll_tpu.ops.pallas.gat_fused import head_expand
 
             h2 = h.reshape(x.shape[0], H * F)
-            msg = jnp.take(h2, g.src, axis=0) * (
-                alpha.astype(h.dtype) @ head_expand(H, F, h.dtype))
+            msg = jnp.take(h2, g.src, axis=0).astype(jnp.float32) * (
+                alpha @ head_expand(H, F, jnp.float32))
             out = jax.ops.segment_sum(msg, g.dst, num_segments=n_dst)
             out = out.reshape(n_dst, H, F)
         if self.concat_heads:

@@ -130,6 +130,8 @@ def reorder_for_locality(
     g: Graph,
     methods: Sequence[str] = ("community", "rcm", "degree"),
     min_fill: float = 0.25,
+    min_fraction: Optional[float] = None,
+    early_stop_fraction: float = 0.85,
     seed: int = 0,
 ) -> Tuple[Graph, Dict[str, float]]:
     """Pick the ordering that maximises the windowed capture estimate.
@@ -137,7 +139,12 @@ def reorder_for_locality(
     Returns ``(graph, info)`` where ``info`` records per-method estimates and
     phase seconds (the reference's COG persists the same style of timing CSV,
     ``cog.py:250-253``). The original graph is returned when no ordering beats
-    the as-is estimate — honest negative for expander-like graphs.
+    the as-is estimate — honest negative for expander-like graphs — or, with
+    ``min_fraction`` set, when the best estimate stays below it (the permute
+    would be wasted work: the layout builder would decline anyway). Orderings
+    are tried in sequence and stop early once one clears
+    ``early_stop_fraction`` (RCM over A+A^T is the expensive fallback — no
+    point running it when community ordering already captured the graph).
     """
     src = np.asarray(g.src)[: g.n_real_edge].astype(np.int64)
     dst = np.asarray(g.dst)[: g.n_real_edge].astype(np.int64)
@@ -163,9 +170,16 @@ def reorder_for_locality(
         info[f"order_{name}_s"] = time.perf_counter() - t1
         if frac > best_frac + 1e-3:
             best_name, best_frac, best_order = name, frac, order
+        if best_frac >= early_stop_fraction:
+            break
 
     info["chosen"] = best_name  # type: ignore[assignment]
     info["estimate_chosen"] = best_frac
+    if min_fraction is not None and best_frac < min_fraction:
+        info["chosen"] = "identity"  # type: ignore[assignment]
+        info["declined"] = True  # type: ignore[assignment]
+        info["total_s"] = time.perf_counter() - t0
+        return g, info
     if best_order is not None:
         t1 = time.perf_counter()
         g = permute_graph(g, best_order)

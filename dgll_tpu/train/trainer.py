@@ -340,11 +340,11 @@ def measure_link(device=None, size_bytes: int = 4 << 20) -> tuple:
     dev = device if device is not None else jax.devices()[0]
     buf = np.ones(size_bytes // 4, np.float32)
     jax.block_until_ready(jax.device_put(buf, dev))  # warm (allocator, path)
-    t0 = time.perf_counter()
-    x = jax.device_put(buf, dev)
-    float(jnp.sum(x[:8]))  # value read proves arrival (block_until_ready can lie)
-    bw = size_bytes / max(time.perf_counter() - t0, 1e-9)
 
+    # RTT first: the transfer probe's value read pays one dispatch RTT too,
+    # which must be subtracted or bandwidth is understated by up to ~rtt/t —
+    # on fast-bandwidth/high-RTT links that bias would mis-route grouping
+    # (the exact regime auto-grouping exists for).
     one = jax.device_put(np.zeros(8, np.float32), dev)
     f = jax.jit(lambda v: jnp.sum(v))
     float(f(one))  # compile outside the timed window
@@ -353,6 +353,11 @@ def measure_link(device=None, size_bytes: int = 4 << 20) -> tuple:
     for _ in range(n):
         float(f(one))
     rtt = (time.perf_counter() - t0) / n
+
+    t0 = time.perf_counter()
+    x = jax.device_put(buf, dev)
+    float(jnp.sum(x[:8]))  # value read proves arrival (block_until_ready can lie)
+    bw = size_bytes / max(time.perf_counter() - t0 - rtt, 1e-6)
     return bw, rtt
 
 
