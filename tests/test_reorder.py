@@ -154,3 +154,25 @@ def test_orderings_are_permutations():
     g = _shuffled_sbm_graph(n=2048, deg=8, seed=7)
     for order in (degree_order(g), rcm_order(g)):
         assert sorted(np.asarray(order).tolist()) == list(range(g.n_real_node))
+
+
+def test_with_windowed_reorder_declines_cheaply_on_expander():
+    """When no ordering can clear min_fraction, with_windowed(reorder=True)
+    must return the ORIGINAL graph without paying the permute + layout build
+    (the declined path gates on the capture estimate)."""
+    import time
+
+    n = 131072
+    rng = np.random.default_rng(9)
+    g = Graph.from_edges(rng.integers(0, n, n * 6), rng.integers(0, n, n * 6),
+                         n, node_feat=rng.standard_normal((n, 4),
+                                                          dtype=np.float32),
+                         labels=rng.integers(0, 3, n).astype(np.int32))
+    t0 = time.perf_counter()
+    g2 = g.with_windowed(reorder=True)
+    dt = time.perf_counter() - t0
+    assert g2 is g                      # unchanged graph, no layouts
+    assert g2.hybrid is None and g2.node_perm is None
+    # orderings + estimates only — no permute, no hybrid build (which takes
+    # tens of seconds at this scale when it runs)
+    assert dt < 60, dt
