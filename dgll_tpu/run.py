@@ -525,7 +525,12 @@ def run_trial(cfg, g, trial_seed: int) -> dict:
         if (jax.default_backend() == "tpu" and g.n_real_edge >= 100_000
                 and cfg.nhid % 128 == 0):
             t_pre = time.perf_counter()
-            g = g.with_windowed(reorder=True).with_chunked()
+            # GAT's metadata-granularity kernels are grid-step bound and run
+            # +23% faster on eb=1024 chunks (gat_tpu_r5.json); the windowed
+            # SpMM (GCN/GIN path) measured the OPPOSITE (eb=1024 = 0.47x,
+            # spmm_tpu_r5.json) — the chunk size is a per-kernel choice.
+            eb = 1024 if cfg.model.upper() == "GAT" else 512
+            g = g.with_windowed(reorder=True).with_chunked(eb=eb)
             extra["spmm_kernel"] = ("windowed_hybrid" if g.hybrid is not None
                                     else "classic_chunked")
             extra["layout_preprocess_s"] = time.perf_counter() - t_pre
