@@ -134,14 +134,19 @@ class GATConv(nn.Module):
         # canonical 8-head x 8-dim (gatconv.py:174-199) — reaches the MXU
         # kernels. Zero feature columns change no score or output (sliced off).
         c = getattr(g, "chunked", None)
-        if (
-            c is not None
-            and c.n_rows >= n_dst
-            and (self.attn_dropout == 0.0 or deterministic)
-        ):
+        if c is not None and c.n_rows >= n_dst:
             import math
 
             from dgll_tpu.ops.pallas.gat import gat_attention_chunked_fused
+
+            # attention dropout rides the kernel path as an alpha mask
+            # (reference drops attention coefficients, gatconv.py:40,140)
+            drop_mask = None
+            if self.attn_dropout > 0.0 and not deterministic:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - self.attn_dropout,
+                    (c.n_chunk_meta * c.eb, H))
+                drop_mask = keep.astype(jnp.float32) / (1.0 - self.attn_dropout)
 
             lane_per_head = 128 // math.gcd(H, 128)
             f_pad = -(-F // lane_per_head) * lane_per_head
@@ -159,7 +164,7 @@ class GATConv(nn.Module):
             # (was 6 fwd via broadcast + 4-launch softmax + scatter)
             out = gat_attention_chunked_fused(
                 c, g.chunked_t, hp, a_s.astype(hp.dtype), a_d.astype(hp.dtype),
-                self.negative_slope, interpret,
+                self.negative_slope, interpret, drop_mask=drop_mask,
             )[:n_dst, :, :F]
             if self.concat_heads:
                 return out.reshape(n_dst, H * F)

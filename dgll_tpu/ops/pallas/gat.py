@@ -157,18 +157,20 @@ def gat_attention_chunked_fused(
     a_dst: jax.Array,
     negative_slope: float = 0.2,
     interpret: bool = False,
+    drop_mask: jax.Array = None,
 ) -> jax.Array:
     """Round-5 fused sparse GAT: 3 launches fwd / 4 bwd (``gat_fused.py``).
 
     ``h [n_rows, H*F]`` (projected, row-padded), ``a_src``/``a_dst`` [H, F].
     One gather; scores' dst-broadcast + the 4-launch softmax collapse into one
-    online-stats sweep + one alpha pass. Returns ``[n_rows, H, F]``.
+    online-stats sweep + one alpha pass. ``drop_mask`` enables attention
+    dropout through the kernel path. Returns ``[n_rows, H, F]``.
     """
     from dgll_tpu.ops.pallas.gat_fused import gat_attention_fused
 
     assert h.shape[0] == c.n_rows, (h.shape, c.n_rows)
     return gat_attention_fused(c, ct, h, a_src, a_dst, negative_slope,
-                               interpret)
+                               interpret, drop_mask=drop_mask)
 
 
 def gat_attention_chunked_multihead(

@@ -358,15 +358,16 @@ def _scores(c, h, a_src, a_dst):
     return msg, sc_src, s_dst
 
 
-def _forward(c, ct, h, a_src, a_dst, negative_slope, interpret):
+def _forward(c, ct, h, a_src, a_dst, drop_mask, negative_slope, interpret):
     H, f = a_src.shape
     e_rows = c.n_chunk * c.eb
     msg, sc_src, s_dst = _scores(c, h, a_src, a_dst)
     m, den = gat_stats(c, sc_src, s_dst, negative_slope, interpret)
     alpha, lgrad = gat_alpha(c, sc_src, s_dst, m, den, negative_slope,
                              interpret)
+    alpha_d = alpha if drop_mask is None else alpha * drop_mask
     ex = head_expand(H, f, msg.dtype)
-    msg_w = msg * (alpha[:e_rows].astype(msg.dtype) @ ex)   # rank-2 throughout
+    msg_w = msg * (alpha_d[:e_rows].astype(msg.dtype) @ ex)  # rank-2 throughout
     out = spmm_chunked_pallas(c, msg_w, weights=_valid01(c),
                               interpret=interpret)
     return out, msg, alpha, lgrad
@@ -374,19 +375,20 @@ def _forward(c, ct, h, a_src, a_dst, negative_slope, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _gat_fused(negative_slope, interpret, c: ChunkedCSR, ct: ChunkedCSR,
-               h, a_src, a_dst):
-    out, _, _, _ = _forward(c, ct, h, a_src, a_dst, negative_slope, interpret)
+               h, a_src, a_dst, drop_mask):
+    out, _, _, _ = _forward(c, ct, h, a_src, a_dst, drop_mask, negative_slope,
+                            interpret)
     return out
 
 
-def _gat_fwd(negative_slope, interpret, c, ct, h, a_src, a_dst):
-    out, msg, alpha, lgrad = _forward(c, ct, h, a_src, a_dst, negative_slope,
-                                      interpret)
-    return out, (c, ct, h, a_src, a_dst, msg, alpha, lgrad)
+def _gat_fwd(negative_slope, interpret, c, ct, h, a_src, a_dst, drop_mask):
+    out, msg, alpha, lgrad = _forward(c, ct, h, a_src, a_dst, drop_mask,
+                                      negative_slope, interpret)
+    return out, (c, ct, h, a_src, a_dst, msg, alpha, lgrad, drop_mask)
 
 
 def _gat_bwd(negative_slope, interpret, res, g):
-    c, ct, h, a_src, a_dst, msg, alpha, lgrad = res
+    c, ct, h, a_src, a_dst, msg, alpha, lgrad, drop_mask = res
     H, f = a_src.shape
     e_rows = c.n_chunk * c.eb
     n_in = h.shape[0]
@@ -396,9 +398,12 @@ def _gat_bwd(negative_slope, interpret, res, g):
     g_edges = expand_rows_chunked(c, g.astype(msg.dtype), interpret=interpret)
     ex = head_expand(H, f, jnp.float32)
     exm = ex.astype(msg.dtype)
-    a_hf = alpha[:e_rows].astype(msg.dtype) @ exm                # [E, H*f]
+    alpha_d = alpha if drop_mask is None else alpha * drop_mask
+    a_hf = alpha_d[:e_rows].astype(msg.dtype) @ exm              # [E, H*f]
     dmsg = g_edges * a_hf
     dalpha = (g_edges * msg).astype(jnp.float32) @ ex.T
+    if drop_mask is not None:       # out used dropped alpha: chain the mask
+        dalpha = dalpha * drop_mask[: dalpha.shape[0]]
     dalpha = jnp.pad(dalpha, ((0, (c.n_chunk_meta - c.n_chunk) * c.eb), (0, 0)))
 
     # softmax VJP: dz = alpha * (dalpha - S[dst]) * leaky',
@@ -433,7 +438,8 @@ def _gat_bwd(negative_slope, interpret, res, g):
     dh = dh + dh_msg.astype(h.dtype)
 
     return (zero_cotangent(c), zero_cotangent(ct), dh,
-            da_src.astype(a_src.dtype), da_dst.astype(a_dst.dtype))
+            da_src.astype(a_src.dtype), da_dst.astype(a_dst.dtype),
+            None if drop_mask is None else jnp.zeros_like(drop_mask))
 
 
 _gat_fused.defvjp(_gat_fwd, _gat_bwd)
@@ -447,6 +453,7 @@ def gat_attention_fused(
     a_dst: jax.Array,
     negative_slope: float = 0.2,
     interpret=None,
+    drop_mask=None,
 ):
     """Fused multi-head sparse GAT layer (differentiable).
 
@@ -455,9 +462,15 @@ def gat_attention_fused(
     live inside ONE custom-VJP op: three kernel launches forward (stats,
     alpha, scatter); backward is five launches with the dmsg scatter riding
     the transpose layout (no XLA scatter-add). Returns ``[n_rows, H, F]``.
+
+    ``drop_mask [n_chunk_meta*eb, H]`` applies attention dropout: alpha is
+    multiplied by the mask (caller pre-scales by 1/(1-p)), so GAT TRAINS
+    through the kernel path too (the reference applies dropout to attention
+    coefficients, ``gatconv.py:40,140``).
     """
     if interpret is None:
         interpret = c.interpret
     H = a_src.shape[0]
-    out = _gat_fused(float(negative_slope), interpret, c, ct, h, a_src, a_dst)
+    out = _gat_fused(float(negative_slope), interpret, c, ct, h, a_src, a_dst,
+                     drop_mask)
     return out.reshape(c.n_rows, H, -1)

@@ -142,3 +142,84 @@ def test_fused_vjp_matches_autodiff(setup):
     for a, b, name in zip(gf, gr, ["h", "a_src", "a_dst"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-3, err_msg=name)
+
+
+def test_fused_attention_dropout_matches_oracle(setup):
+    """drop_mask path: fused output + grads == segment-op oracle with the SAME
+    mask applied to alpha (so full-batch GAT trains through the kernels)."""
+    H, f, c, ct, h, a_src, a_dst = setup
+    rng = np.random.default_rng(7)
+    p = 0.4
+    keep = rng.random((c.n_chunk_meta * c.eb, H)) > p
+    mask = jnp.asarray(keep.astype(np.float32) / (1.0 - p))
+    t = jnp.asarray(rng.normal(size=(c.n_rows, H, f)).astype(np.float32))
+
+    def loss_fused(h_):
+        o = gat_attention_chunked_fused(c, ct, h_, a_src, a_dst, 0.2,
+                                        interpret=True, drop_mask=mask)
+        return jnp.vdot(o, t)
+
+    def oracle(h_):
+        from dgll_tpu.ops.segment import segment_softmax
+
+        src_g, dst_g, valid = _edge_layout(c)
+        h3 = h_.reshape(-1, H, f)
+        sc_src = jnp.einsum("ehf,hf->eh", h3[src_g], a_src)
+        s_dst = jnp.einsum("nhf,hf->nh", h3, a_dst)
+        z = sc_src + s_dst[dst_g]
+        e = jnp.where(z > 0, z, 0.2 * z)
+        e = jnp.where(jnp.asarray(valid)[:, None], e, -3e38)
+        alpha = segment_softmax(e, jnp.asarray(dst_g), c.n_rows)
+        alpha = alpha * jnp.asarray(valid)[:, None]
+        alpha = alpha * mask[: len(src_g)]
+        msgw = (h3[src_g] * alpha[:, :, None]).reshape(len(src_g), -1)
+        out = jax.ops.segment_sum(msgw, jnp.asarray(dst_g),
+                                  num_segments=c.n_rows)
+        return jnp.vdot(out.reshape(c.n_rows, H, f), t)
+
+    np.testing.assert_allclose(float(loss_fused(h)), float(oracle(h)),
+                               rtol=2e-4)
+    gf = jax.grad(loss_fused)(h)
+    gr = jax.grad(oracle)(h)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_gatconv_trains_through_kernel_with_attn_dropout():
+    """GATConv with attn_dropout > 0 and deterministic=False must STILL take
+    the kernel path (r5: dropout rides the fused op as an alpha mask)."""
+    import dgll_tpu.ops.pallas.gat as gatmod
+    from dgll_tpu.data import gcn_normalize, synthetic_classification_graph
+    from dgll_tpu.nn.conv import GATConv
+
+    g = gcn_normalize(synthetic_classification_graph(
+        n_node=150, avg_degree=6, n_class=3, feat_dim=16,
+        seed=0)).with_chunked(eb=128)
+    conv = GATConv(features=16, num_heads=4, attn_dropout=0.5)
+    x = jnp.asarray(np.asarray(g.node_feat))
+    calls = []
+    orig = gatmod.gat_attention_chunked_fused
+
+    def spy(*a, **k):
+        calls.append(k.get("drop_mask") is not None)
+        return orig(*a, **k)
+
+    gatmod.gat_attention_chunked_fused = spy
+    try:
+        params = conv.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)}, g, x, False)
+        out = conv.apply(params, g, x, False,
+                         rngs={"dropout": jax.random.key(2)})
+    finally:
+        gatmod.gat_attention_chunked_fused = orig
+    assert calls and calls[-1] is True  # kernel path WITH a mask
+    assert np.isfinite(np.asarray(out)).all()
+    # eval mode: no mask
+    calls.clear()
+    gatmod.gat_attention_chunked_fused = spy
+    try:
+        out_eval = conv.apply(params, g, x, True)
+    finally:
+        gatmod.gat_attention_chunked_fused = orig
+    assert calls and calls[-1] is False
+    assert np.isfinite(np.asarray(out_eval)).all()
